@@ -1,0 +1,198 @@
+"""proj-string parsing, CRS registry, and the CRS->CRS mini-planner.
+
+The parser mirrors the reference's free-format tokenizer
+(src/4D_api.cpp:993-1041 pj_trim_argc/argv + src/init.cpp:482-538 paralist ->
+constructor dispatch), restricted to the +key=value grammar. The CRS->CRS
+planner is the driver-side replacement for proj_create_crs_to_crs
+(src/4D_api.cpp:2072-2270): we support a static registry of CRS definitions
+(the full EPSG SQLite database, src/iso19111/factory.cpp, is explicitly not
+ported — SURVEY.md §7.4), and build a pipeline
+``inv(src) -> [datum shift via cart/helmert] -> fwd(dst)`` the way the
+reference's cs2cs emulation rewrites +towgs84 (src/4D_api.cpp:845-992).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .ops import Operator, Pipeline, PushPop, create_operator
+from .kernels import cyl, conic, cartgeo, datum  # noqa: F401 (registration)
+
+
+def parse_proj_params(s: str) -> list[dict]:
+    """Tokenize a proj-string; returns one dict per step (a non-pipeline
+    string yields a single-element list)."""
+    toks = s.replace("\n", " ").split()
+    global_params: dict = {}
+    steps: list[dict] = []
+    cur: dict | None = None
+    is_pipeline = False
+    for tok in toks:
+        tok = tok.lstrip("+")
+        if not tok:
+            continue
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+        else:
+            k, v = tok, True
+        if k == "step":
+            is_pipeline = True
+            if cur is not None:
+                steps.append(cur)
+            cur = {}
+            continue
+        if k == "proj" and v == "pipeline":
+            is_pipeline = True
+            continue
+        # first occurrence wins (reference paralist search order,
+        # src/init.cpp:375-383: earlier params take precedence)
+        if cur is None:
+            global_params.setdefault(k, v)
+        else:
+            cur.setdefault(k, v)
+    if cur is not None:
+        steps.append(cur)
+    if not is_pipeline:
+        return [global_params]
+    # pipeline global params (e.g. +ellps before first step) inherit into steps
+    inherit = {k: v for k, v in global_params.items() if k != "proj"}
+    out = []
+    for st in steps:
+        merged = dict(inherit)
+        merged.update(st)
+        out.append(merged)
+    return out
+
+
+def create(defn: str):
+    """proj-string -> Operator or Pipeline (the engine's proj_create)."""
+    defn = defn.strip()
+    if defn.upper().startswith("EPSG:"):
+        defn = epsg_to_proj(int(defn.split(":")[1]))
+    steps = parse_proj_params(defn)
+    if len(steps) == 1 and "step" not in defn and "pipeline" not in defn:
+        p = steps[0]
+        return _create_step(p)[0]
+    ops = [_create_step(p) for p in steps]
+    return Pipeline(ops)
+
+
+def _create_step(p: dict):
+    direction = "inverse" if "inv" in p else "forward"
+    q = {k: v for k, v in p.items() if k != "inv"}
+    op = create_operator(q)
+    return (op, direction)
+
+
+# ---------------------------------------------------------------------------
+# Static CRS registry (EPSG subset; replaces the 9,990-LoC SQLite factory)
+# ---------------------------------------------------------------------------
+
+_EPSG_STATIC = {
+    4326: "+proj=longlat +ellps=WGS84",            # WGS84 geographic
+    4258: "+proj=longlat +ellps=GRS80",            # ETRS89 geographic
+    4269: "+proj=longlat +ellps=GRS80",            # NAD83 geographic
+    4277: "+proj=longlat +ellps=airy +towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894",  # OSGB36
+    4230: "+proj=longlat +ellps=intl +towgs84=-87,-98,-121",   # ED50 (ballpark)
+    3857: "+proj=webmerc +ellps=WGS84",            # Web Mercator
+    4978: "+proj=geocent +ellps=WGS84",            # WGS84 geocentric
+    2154: "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 +x_0=700000 +y_0=6600000 +ellps=GRS80",  # RGF93 / Lambert-93
+    5070: "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 +x_0=0 +y_0=0 +ellps=GRS80",  # NAD83 / CONUS Albers
+    27700: "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=airy "
+           "+towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894",  # British National Grid
+    25832: "+proj=utm +zone=32 +ellps=GRS80",      # ETRS89 / UTM 32N
+    3035: "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80",  # ETRS89-LAEA (needs laea op)
+    32600: None,  # handled by pattern
+}
+
+
+def epsg_to_proj(code: int) -> str:
+    """EPSG code -> proj-string for the supported subset (reference analogue:
+    SQLite lookup in src/iso19111/factory.cpp, replaced per SURVEY.md §1.3)."""
+    if 32601 <= code <= 32660:  # WGS84 / UTM north
+        return f"+proj=utm +zone={code - 32600} +ellps=WGS84"
+    if 32701 <= code <= 32760:  # WGS84 / UTM south
+        return f"+proj=utm +zone={code - 32700} +south +ellps=WGS84"
+    if 25828 <= code <= 25838:  # ETRS89 / UTM
+        return f"+proj=utm +zone={code - 25800} +ellps=GRS80"
+    if 26901 <= code <= 26923:  # NAD83 / UTM
+        return f"+proj=utm +zone={code - 26900} +ellps=GRS80"
+    s = _EPSG_STATIC.get(code)
+    if not s:
+        raise KeyError(f"EPSG:{code} not in static registry")
+    return s
+
+
+def _towgs84_of(params: dict):
+    tw = params.get("towgs84")
+    if tw is None:
+        if "datum" in params:
+            from .kernels.core import DATUM_TABLE
+            return tuple(DATUM_TABLE[params["datum"]][1])
+        return None
+    vals = tuple(float(v) for v in str(tw).split(","))
+    if all(v == 0 for v in vals):
+        return None
+    return vals
+
+
+def create_crs_to_crs(src: str, dst: str) -> Pipeline:
+    """Build the cs2cs-equivalent pipeline src CRS -> dst CRS.
+
+    Mirrors the reference's prepared-operation construction for the
+    static-registry case (src/4D_api.cpp:845-992 cs2cs emulation):
+
+      inv(src proj) -> [src towgs84: cart -> helmert -> cart^-1]
+                    -> [dst towgs84: cart -> helmert^-1 -> cart^-1]
+                    -> fwd(dst proj)
+
+    Coordinates are (lon, lat) in degrees in, (x, y) CRS units out; the
+    engine universally uses GIS (lon,lat) order (axis normalization the
+    reference applies via proj_normalize_for_visualization).
+    """
+    src_def = epsg_to_proj(int(src.split(":")[1])) if src.upper().startswith("EPSG:") else src
+    dst_def = epsg_to_proj(int(dst.split(":")[1])) if dst.upper().startswith("EPSG:") else dst
+    src_steps = parse_proj_params(src_def)
+    dst_steps = parse_proj_params(dst_def)
+    if len(src_steps) != 1 or len(dst_steps) != 1:
+        raise ValueError("crs_to_crs expects single-operator CRS definitions")
+    sp, dp = src_steps[0], dst_steps[0]
+
+    steps: list[tuple] = []
+    # 1. into geodetic coordinates of the source datum
+    if sp.get("proj") not in ("longlat", "latlong", "lonlat", "latlon"):
+        steps.append((create_operator(sp), "inverse"))
+    s_tw = _towgs84_of(sp)
+    d_tw = _towgs84_of(dp)
+    if s_tw != d_tw:
+        from .kernels.datum import Helmert
+        from .kernels.cartgeo import Cart
+        if s_tw is not None:
+            ell_s = {k: sp[k] for k in ("ellps", "a", "b", "rf", "R", "datum") if k in sp}
+            steps.append((Cart({"proj": "cart", **ell_s}), "forward"))
+            steps.append((Helmert(_helmert_params(s_tw)), "forward"))
+            steps.append((Cart({"proj": "cart", "ellps": "WGS84"}), "inverse"))
+            cur_ell = {"ellps": "WGS84"}
+        else:
+            cur_ell = {k: sp[k] for k in ("ellps", "a", "b", "rf", "R", "datum") if k in sp}
+        if d_tw is not None:
+            ell_d = {k: dp[k] for k in ("ellps", "a", "b", "rf", "R", "datum") if k in dp}
+            steps.append((Cart({"proj": "cart", **cur_ell}), "forward"))
+            steps.append((Helmert(_helmert_params(d_tw)), "inverse"))
+            steps.append((Cart({"proj": "cart", **ell_d}), "inverse"))
+    # 2. into the destination CRS
+    if dp.get("proj") not in ("longlat", "latlong", "lonlat", "latlon"):
+        steps.append((create_operator(dp), "forward"))
+    if not steps:
+        steps.append((create_operator({"proj": "noop"}), "forward"))
+    return Pipeline(steps)
+
+
+def _helmert_params(tw: tuple) -> dict:
+    p = {"proj": "helmert"}
+    keys7 = ("x", "y", "z", "rx", "ry", "rz", "s")
+    for k, v in zip(keys7, tw):
+        p[k] = v
+    if len(tw) > 3:
+        p["convention"] = "position_vector"
+    return p

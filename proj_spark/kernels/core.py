@@ -1,0 +1,373 @@
+"""Shared ellipsoid constants and scalar-math helpers, vectorized over numpy.
+
+This is the engine's equivalent of PROJ's shared math library
+(reference: src/aasincos.cpp, src/adjlon.cpp, src/phi2.cpp, src/tsfn.cpp,
+src/msfn.cpp, src/qsfn.cpp, src/ellps.cpp, src/datums.cpp). Everything here is
+pure numpy float64, no Spark imports — unit-testable in isolation and reused by
+every projection kernel. NaN is the in-band poison value (the reference uses
+HUGE_VAL, src/fwd.cpp:41-44); NaN propagates through numpy for free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TWO_PI = 2.0 * np.pi
+HALF_PI = 0.5 * np.pi
+FORT_PI = 0.25 * np.pi
+DEG_TO_RAD = np.pi / 180.0
+RAD_TO_DEG = 180.0 / np.pi
+# reference src/proj_internal.h: PJ_EPS_LAT ~ 1e-12 slack on |phi| <= pi/2
+EPS_LAT = 1e-12
+
+# --------------------------------------------------------------------------
+# Ellipsoids (subset of reference src/ellps.cpp; (a, rf) or (a, b))
+# --------------------------------------------------------------------------
+_ELLPS_TABLE = {
+    # name: (a_metres, rf) ; rf = 0 means sphere
+    "GRS80": (6378137.0, 298.257222101),
+    "WGS84": (6378137.0, 298.257223563),
+    "WGS72": (6378135.0, 298.26),
+    "WGS66": (6378145.0, 298.25),
+    "WGS60": (6378165.0, 298.3),
+    "intl": (6378388.0, 297.0),
+    "bessel": (6377397.155, 299.1528128),
+    "clrk66": (6378206.4, 0.0, 6356583.8),      # (a, -, b)
+    "clrk80": (6378249.145, 293.4663),
+    "clrk80ign": (6378249.2, 293.4660212936269),
+    "airy": (6377563.396, 0.0, 6356256.910),
+    "mod_airy": (6377340.189, 0.0, 6356034.446),
+    "evrst30": (6377276.345, 300.8017),
+    "krass": (6378245.0, 298.3),
+    "aust_SA": (6378160.0, 298.25),
+    "GRS67": (6378160.0, 298.2471674270),
+    "helmert": (6378200.0, 298.3),
+    "sphere": (6370997.0, 0.0, 6370997.0),
+}
+
+# reference src/datums.cpp:44-92 (towgs84 3/7-param entries we support)
+DATUM_TABLE = {
+    "WGS84": ("WGS84", (0, 0, 0)),
+    "GGRS87": ("GRS80", (-199.87, 74.79, 246.62)),
+    "NAD83": ("GRS80", (0, 0, 0)),
+    "potsdam": ("bessel", (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)),
+    "carthage": ("clrk80ign", (-263.0, 6.0, 431.0)),
+    "hermannskogel": ("bessel", (577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)),
+    "ire65": ("mod_airy", (482.530, -130.596, 564.557, -1.042, -0.214, -0.631, 8.15)),
+    "nzgd49": ("intl", (59.47, -5.04, 187.44, 0.47, -0.1, 1.024, -4.5993)),
+    "OSGB36": ("airy", (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)),
+}
+
+# reference src/units.cpp (linear units, metres per unit)
+UNITS = {
+    "m": 1.0, "km": 1000.0, "dm": 0.1, "cm": 0.01, "mm": 0.001,
+    "kmi": 1852.0, "in": 0.0254, "ft": 0.3048, "yd": 0.9144,
+    "mi": 1609.344, "fath": 1.8288, "ch": 20.1168, "link": 0.201168,
+    "us-in": 1.0 / 39.37, "us-ft": 0.304800609601219,
+    "us-yd": 0.914401828803658, "us-ch": 20.11684023368047,
+    "us-mi": 1609.347218694437, "ind-yd": 0.91439523, "ind-ft": 0.30479841,
+    "ind-ch": 20.11669506,
+}
+
+
+class Ellipsoid:
+    """Precomputed ellipsoid constants (reference src/proj_internal.h:537-566:
+    a, b, ra, e, es, one_es, f, n ... computed once at operator setup)."""
+
+    __slots__ = ("a", "b", "f", "rf", "e", "es", "one_es", "e2s", "n", "ra", "alpha")
+
+    def __init__(self, a: float, b: float):
+        self.a = float(a)
+        self.b = float(b)
+        self.f = (a - b) / a
+        self.rf = 1.0 / self.f if self.f != 0.0 else 0.0
+        self.es = 2 * self.f - self.f * self.f
+        self.e = np.sqrt(self.es)
+        self.one_es = 1.0 - self.es
+        # second eccentricity squared e'^2 = es / (1 - es)
+        self.e2s = self.es / self.one_es if self.one_es != 0 else np.inf
+        # third flattening n = f / (2 - f)
+        self.n = self.f / (2.0 - self.f)
+        self.ra = 1.0 / a
+
+    @property
+    def is_sphere(self) -> bool:
+        return self.es == 0.0
+
+    def __repr__(self):  # pragma: no cover
+        return f"Ellipsoid(a={self.a}, rf={self.rf})"
+
+
+def ellps_from_name(name: str) -> Ellipsoid:
+    row = _ELLPS_TABLE[name]
+    a = row[0]
+    if len(row) == 3:
+        return Ellipsoid(a, row[2])
+    rf = row[1]
+    b = a if rf == 0.0 else a * (1.0 - 1.0 / rf)
+    return Ellipsoid(a, b)
+
+
+def resolve_ellipsoid(params: dict) -> Ellipsoid:
+    """Resolve +ellps/+R/+a/+b/+rf/+f/+es/+datum params to an Ellipsoid.
+
+    Mirrors reference src/ell_set.cpp precedence (sphere via +R, explicit
+    +a/+b/+rf, named +ellps, datum-implied ellipsoid, WGS84 default —
+    src/init.cpp:566-581).
+    """
+    if "R" in params:
+        r = float(params["R"])
+        return Ellipsoid(r, r)
+    base_ell = _resolve_base(params)
+    return _spherify(base_ell, params)
+
+
+def _spherify(ell: Ellipsoid, params: dict) -> Ellipsoid:
+    """+R_A/+R_V/+R_a/+R_g/+R_h/+R_lat_a/+R_lat_g/+R_C sphere substitutes
+    (reference src/ell_set.cpp:355-460)."""
+    a, b, es = ell.a, ell.b, ell.es
+    if "R_A" in params:       # same surface area
+        a *= 1.0 - es * (1 / 6.0 + es * (17 / 360.0 + es * (67 / 3024.0)))
+    elif "R_V" in params:     # same volume
+        a *= 1.0 - es * (1 / 6.0 + es * (5 / 72.0 + es * (55 / 1296.0)))
+    elif "R_a" in params:
+        a = (a + b) / 2.0
+    elif "R_g" in params:
+        a = np.sqrt(a * b)
+    elif "R_h" in params:
+        a = 2 * a * b / (a + b)
+    elif "R_lat_a" in params or "R_lat_g" in params:
+        from ..ops import parse_angle
+        key = "R_lat_a" if "R_lat_a" in params else "R_lat_g"
+        t = np.sin(parse_angle(params[key]) * DEG_TO_RAD)
+        t = 1.0 - es * t * t
+        if key == "R_lat_a":
+            a *= (1.0 - es + t) / (2 * t * np.sqrt(t))
+        else:
+            a *= np.sqrt(1 - es) / t
+    elif "R_C" in params:
+        # conformal sphere radius sqrt(M*N) at phi0 — but the reference
+        # evaluates it during ell_set, BEFORE +lat_0 is bound, so phi0 is
+        # effectively 0 and R_C = a*sqrt(1-es) = b (verified against
+        # builtins.gie merc +R_C +lat_0=45 which expects R == b)
+        a *= np.sqrt(1 - es)
+    else:
+        return ell
+    return Ellipsoid(float(a), float(a))
+
+
+def _resolve_base(params: dict) -> Ellipsoid:
+    if "datum" in params:
+        ell, _ = DATUM_TABLE[params["datum"]]
+        base = ellps_from_name(ell)
+    elif "ellps" in params:
+        base = ellps_from_name(params["ellps"])
+    else:
+        base = None
+    if "a" in params:
+        a = float(params["a"])
+        if "b" in params:
+            return Ellipsoid(a, float(params["b"]))
+        if "rf" in params:
+            rf = float(params["rf"])
+            return Ellipsoid(a, a * (1 - 1 / rf) if rf else a)
+        if "f" in params:
+            f = float(params["f"])
+            return Ellipsoid(a, a * (1 - f))
+        if "es" in params:
+            es = float(params["es"])
+            return Ellipsoid(a, a * np.sqrt(1 - es))
+        return Ellipsoid(a, a)  # sphere of radius a
+    if base is not None:
+        return base
+    # the reference's default ellipsoid is GRS80 (src/init.cpp:362)
+    return ellps_from_name("GRS80")
+
+
+# --------------------------------------------------------------------------
+# Scalar helpers (vectorized)
+# --------------------------------------------------------------------------
+
+def adjlon(lam: np.ndarray) -> np.ndarray:
+    """Wrap longitude into (-pi, pi] (reference src/adjlon.cpp:7)."""
+    lam = np.asarray(lam, dtype=np.float64)
+    out = lam - TWO_PI * np.floor((lam + np.pi) / TWO_PI)
+    # values exactly at -pi wrap to +pi? reference keeps |lam| <= pi; leave.
+    return out
+
+
+def aasin(v: np.ndarray) -> np.ndarray:
+    """Clamped arcsine (reference src/aasincos.cpp:11): |v| slightly over 1
+    clamps, |v| far over 1 poisons to NaN."""
+    v = np.asarray(v, dtype=np.float64)
+    av = np.abs(v)
+    out = np.arcsin(np.clip(v, -1.0, 1.0))
+    return np.where(av > 1.0 + 1e-10, np.nan, out)
+
+
+def aacos(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, dtype=np.float64)
+    av = np.abs(v)
+    out = np.arccos(np.clip(v, -1.0, 1.0))
+    return np.where(av > 1.0 + 1e-10, np.nan, out)
+
+
+def tsfn(phi: np.ndarray, sinphi: np.ndarray, e: float) -> np.ndarray:
+    """ts = exp(-psi), psi the isometric latitude (reference src/tsfn.cpp:6).
+
+    Uses the numerically-stable half-angle form from the reference:
+    exp(-asinh(tan phi)) = cos phi/(1+sin phi) for phi>0, (1-sin phi)/cos phi
+    otherwise.
+    """
+    cosphi = np.cos(phi)
+    pos = sinphi > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        base = np.where(pos, cosphi / (1.0 + sinphi), (1.0 - sinphi) / cosphi)
+        return np.exp(e * np.arctanh(e * sinphi)) * base
+
+
+def msfn(sinphi: np.ndarray, cosphi: np.ndarray, es: float) -> np.ndarray:
+    """m(phi) = cos phi / sqrt(1 - es sin^2 phi) (reference src/msfn.cpp:5)."""
+    return cosphi / np.sqrt(1.0 - es * sinphi * sinphi)
+
+
+def qsfn(sinphi: np.ndarray, e: float, one_es: float) -> np.ndarray:
+    """Authalic q(phi) (reference src/qsfn.cpp:8)."""
+    if e >= 1.0e-7:
+        con = e * sinphi
+        div1 = 1.0 - con * con
+        div2 = 1.0 + con
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = one_es * (sinphi / div1 - (0.5 / e) * np.log((1.0 - con) / div2))
+        return np.where((div1 == 0.0) | (div2 == 0.0), np.nan, out)
+    return sinphi + sinphi
+
+
+def sinhpsi2tanphi(taup: np.ndarray, e: float) -> np.ndarray:
+    """tau' = sinh(psi) = tan(chi)  ->  tau = tan(phi).
+
+    Vectorized Newton iteration after GeographicLib Math::tauf / reference
+    src/phi2.cpp:10-108 (Karney 2011 eq. 7). Fixed 5 iterations with a
+    convergence mask — the reference converges in <=2 for WGS84.
+    """
+    taup = np.asarray(taup, dtype=np.float64)
+    e2m = 1.0 - e * e
+    rooteps = np.sqrt(np.finfo(np.float64).eps)
+    tol = rooteps / 10.0
+    tmax = 2.0 / rooteps
+    stol = tol * np.maximum(1.0, np.abs(taup))
+    # initial guess; >70 corresponds to chi ~ 89.18 deg
+    big = np.abs(taup) > 70.0
+    tau = np.where(big, taup * np.exp(e * np.arctanh(e)), taup / e2m)
+    overflow = ~(np.abs(tau) < tmax)  # catches inf/nan too
+    active = ~overflow
+    for _ in range(5):
+        if not active.any():
+            break
+        tau1 = np.sqrt(1.0 + tau * tau)
+        with np.errstate(invalid="ignore", over="ignore"):
+            sig = np.sinh(e * np.arctanh(e * tau / tau1))
+            taupa = np.sqrt(1.0 + sig * sig) * tau - sig * tau1
+            dtau = ((taup - taupa) * (1.0 + e2m * (tau * tau))
+                    / (e2m * tau1 * np.sqrt(1.0 + taupa * taupa)))
+        tau = np.where(active, tau + dtau, tau)
+        active = active & (np.abs(dtau) >= stol)
+    return tau
+
+
+def phi2(ts0: np.ndarray, e: float) -> np.ndarray:
+    """Inverse of tsfn: latitude from ts = exp(-psi)
+    (reference src/phi2.cpp:112-165)."""
+    ts0 = np.asarray(ts0, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        taup = (1.0 / ts0 - ts0) / 2.0
+    return np.arctan(sinhpsi2tanphi(taup, e))
+
+
+def authalic_phi1(qs: np.ndarray, e: float, one_es: float) -> np.ndarray:
+    """Inverse authalic latitude by Newton iteration
+    (reference src/projections/aea.cpp:46-68 phi1_)."""
+    qs = np.asarray(qs, dtype=np.float64)
+    phi = aasin(0.5 * qs)
+    if e < 1.0e-7:
+        return phi
+    converged = np.zeros(phi.shape, dtype=bool)
+    for _ in range(15):
+        sinpi = np.sin(phi)
+        cospi = np.cos(phi)
+        con = e * sinpi
+        com = 1.0 - con * con
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dphi = (0.5 * com * com / cospi
+                    * (qs / one_es - sinpi / com
+                       + 0.5 / e * np.log((1.0 - con) / (1.0 + con))))
+        phi = np.where(converged, phi, phi + dphi)
+        converged = converged | (np.abs(dphi) <= 1.0e-10)
+        if converged.all():
+            break
+    return np.where(converged, phi, np.nan)
+
+
+def clenshaw_real(coefs: np.ndarray, arg: np.ndarray) -> np.ndarray:
+    """Real Clenshaw summation of sum_k c_k sin(k*arg), k=1..len
+    (reference src/projections/tmerc.cpp:309-326 clens)."""
+    cos_arg = np.cos(arg)
+    r = 2.0 * cos_arg
+    hr1 = np.zeros_like(arg)
+    hr = np.full_like(arg, coefs[-1])
+    for c in coefs[-2::-1]:
+        hr2 = hr1
+        hr1 = hr
+        hr = -hr2 + r * hr1 + c
+    return np.sin(arg) * hr
+
+
+def clenshaw_complex(coefs, sin_r, cos_r, sinh_i, cosh_i):
+    """Complex Clenshaw summation (reference src/projections/tmerc.cpp:279-306
+    clenS): evaluates sum_k c_k sin(k*(argR + i*argI)); returns (Re, Im)."""
+    r = 2.0 * cos_r * cosh_i
+    i = -2.0 * sin_r * sinh_i
+    hr1 = np.zeros_like(sin_r)
+    hi1 = np.zeros_like(sin_r)
+    hi = np.zeros_like(sin_r)
+    hr = np.full_like(sin_r, coefs[-1])
+    for c in coefs[-2::-1]:
+        hr2 = hr1
+        hi2 = hi1
+        hr1 = hr
+        hi1 = hi
+        hr = -hr2 + r * hr1 - i * hi1 + c
+        hi = -hi2 + i * hr1 + r * hi1
+    rr = sin_r * cosh_i
+    ri = cos_r * sinh_i
+    return rr * hr - ri * hi, rr * hi + ri * hr
+
+
+def gatg(coefs: np.ndarray, b: np.ndarray, cos_2b: np.ndarray, sin_2b: np.ndarray) -> np.ndarray:
+    """Gaussian <-> geodetic latitude trig series via Clenshaw
+    (reference src/projections/tmerc.cpp:263-276)."""
+    two_cos = 2.0 * cos_2b
+    h1 = np.full_like(b, coefs[-1])
+    h2 = np.zeros_like(b)
+    for c in coefs[-2::-1]:
+        h = -h2 + two_cos * h1 + c
+        h2 = h1
+        h1 = h
+    return b + h1 * sin_2b
+
+
+def lp_dist_m(ell: Ellipsoid, lam1, phi1, lam2, phi2_) -> np.ndarray:
+    """Approximate metric distance (metres) between two geodetic points,
+    for tolerance checks on angular outputs (stand-in for the reference's
+    proj_lpz_dist / Karney geodesic in src/apps/gie.cpp:1056-1062; for the
+    sub-degree separations used in tolerance checks the local-metric error
+    is O(d^2/R) — negligible at mm scales). Uses meridional/normal curvature
+    radii at the midpoint."""
+    phi_m = 0.5 * (np.asarray(phi1) + np.asarray(phi2_))
+    sin_m = np.sin(phi_m)
+    w2 = 1.0 - ell.es * sin_m * sin_m
+    n_rad = ell.a / np.sqrt(w2)            # normal radius N
+    m_rad = ell.a * (1 - ell.es) / w2 ** 1.5  # meridional radius M
+    dlam = adjlon(np.asarray(lam2) - np.asarray(lam1))
+    dphi = np.asarray(phi2_) - np.asarray(phi1)
+    return np.hypot(m_rad * dphi, n_rad * np.cos(phi_m) * dlam)

@@ -1,0 +1,447 @@
+"""Operator framework: vectorized coordinate operators + pipeline composition.
+
+Mirrors the reference's execution contract, re-expressed columnar:
+
+- An :class:`Operator` is the analogue of a compiled ``PJ`` instance
+  (reference src/proj_internal.h:505-676): precomputed constants bound at
+  construction, plus vectorized ``fwd``/``inv`` kernels ``double4 -> double4``
+  over numpy arrays.
+- ``pj_fwd``/``pj_inv`` here reproduce the generic prepare/finalize wrappers
+  (reference src/fwd.cpp:40-174, src/inv.cpp): angular-range validation and
+  poisoning, geocentric-latitude handling, central-meridian offset, longitude
+  wrapping, semimajor-axis scaling of "classic" outputs, false
+  eastings/northings and unit conversion.
+- A :class:`Pipeline` is the analogue of ``+proj=pipeline`` sequential step
+  composition (reference src/conversions/pipeline.cpp:163-193), including
+  per-step ``+inv`` and push/pop value stacks as temporary columns.
+
+Poison value: NaN everywhere (the reference uses HUGE_VAL,
+src/fwd.cpp:41-44); NaN rows stay NaN through every later stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kernels.core import (
+    DEG_TO_RAD,
+    EPS_LAT,
+    HALF_PI,
+    UNITS,
+    Ellipsoid,
+    adjlon,
+    resolve_ellipsoid,
+)
+
+# io-unit tags (reference src/proj_internal.h:192-198)
+U_WHATEVER = "whatever"
+U_CLASSIC = "classic"      # dimensionless x/a -> scaled by a at finalize
+U_PROJECTED = "projected"  # metres
+U_CARTESIAN = "cartesian"  # geocentric metres
+U_RADIANS = "radians"
+U_DEGREES = "degrees"
+
+
+def _ratio(v) -> float:
+    """Parse '0.5' or 'a/b' ratio notation (reference pj_param 'd' with
+    fractions, used by +to_meter/+vto_meter)."""
+    s = str(v)
+    if "/" in s:
+        a, b = s.split("/", 1)
+        return float(a) / float(b)
+    return float(s)
+
+
+def _build_datum_shift(params: dict):
+    """cs2cs-emulation datum handling (reference src/fwd.cpp:91-100 +
+    src/4D_api.cpp:845-992): when a CRS carries +towgs84/+datum, its
+    geodetic coordinates are related to WGS84 by
+    cart(WGS84).fwd -> helmert.inv -> cart(local).inv on input, and the
+    transpose on output. Returns (cart_wgs84, helmert_or_None, cart_local)
+    or None when the CRS is WGS84-equivalent."""
+    tw = None
+    if "_no_datum_shift" in params:
+        return None
+    if "towgs84" in params:
+        tw = tuple(float(x) for x in str(params["towgs84"]).split(","))
+    elif "datum" in params:
+        from .kernels.core import DATUM_TABLE
+        name = params["datum"]
+        if name not in DATUM_TABLE:
+            raise KeyError(f"unsupported datum {name}")
+        tw = tuple(DATUM_TABLE[name][1])
+        if all(v == 0 for v in tw):
+            return None  # PJD_WGS84-equivalent datum (init.cpp:588-594)
+    if tw is None:
+        return None
+    from .kernels.cartgeo import Cart
+    from .kernels.datum import Helmert
+    ell_keys = ("ellps", "a", "b", "rf", "f", "es", "R", "datum")
+    local = {k: params[k] for k in ell_keys if k in params}
+    cart_wgs84 = Cart({"proj": "cart", "ellps": "WGS84", "_no_datum_shift": True})
+    cart_local = Cart({"proj": "cart", "_no_datum_shift": True, **local})
+    helm = None
+    if any(v != 0 for v in tw):
+        hp = {"proj": "helmert"}
+        for k, v in zip(("x", "y", "z", "rx", "ry", "rz", "s"), tw):
+            hp[k] = v
+        if len(tw) > 3:
+            hp["convention"] = "position_vector"
+        helm = Helmert(hp)
+    return (cart_wgs84, helm, cart_local)
+
+
+def _angles(params: dict, key: str, default: float = 0.0) -> float:
+    """Parse an angle parameter given in degrees (optionally DMS-ish)."""
+    if key not in params:
+        return default
+    return parse_angle(params[key]) * DEG_TO_RAD
+
+
+def parse_angle(v) -> float:
+    """Parse '12.5', '12d30', '12d30\'10"N', '7d28.242E' to decimal degrees
+    (reference src/dmstor.cpp grammar subset)."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    s = str(v).strip()
+    sign = 1.0
+    if s and s[-1] in "NnEe":
+        s = s[:-1]
+    elif s and s[-1] in "SsWw":
+        sign = -1.0
+        s = s[:-1]
+    if s.startswith("-"):
+        sign = -sign
+        s = s[1:]
+    elif s.startswith("+"):
+        s = s[1:]
+    deg = minu = sec = 0.0
+    if "d" in s or "°" in s:
+        s = s.replace("°", "d")
+        d, rest = s.split("d", 1)
+        deg = float(d) if d else 0.0
+        rest = rest.replace("″", '"').replace("′", "'")
+        if "'" in rest:
+            m, rest2 = rest.split("'", 1)
+            minu = float(m) if m else 0.0
+            rest2 = rest2.rstrip('"')
+            sec = float(rest2) if rest2 else 0.0
+        elif rest:
+            minu = float(rest.rstrip('"'))
+    else:
+        deg = float(s) if s else 0.0
+    return sign * (deg + minu / 60.0 + sec / 3600.0)
+
+
+class Operator:
+    """Base class: one coordinate operator with bound constants.
+
+    Subclasses set ``left``/``right`` io-unit tags and implement
+    ``_fwd``/``_inv`` raw kernels (no prepare/finalize) over numpy arrays.
+    """
+
+    name = "?"
+    left = U_RADIANS
+    right = U_CLASSIC
+    has_inverse = True
+
+    def __init__(self, params: dict, invoked_name: str | None = None):
+        self.params = dict(params)
+        self.invoked_name = invoked_name or self.name
+        self.ell: Ellipsoid = resolve_ellipsoid(params)
+        self.lam0 = _angles(params, "lon_0")
+        self.phi0 = _angles(params, "lat_0")
+        self.x0 = float(params.get("x_0", 0.0))
+        self.y0 = float(params.get("y_0", 0.0))
+        self.z0 = float(params.get("z_0", 0.0))
+        if "k_0" in params:
+            self.k0 = float(params["k_0"])
+        elif "k" in params:
+            self.k0 = float(params["k"])
+        else:
+            self.k0 = 1.0
+        if "to_meter" in params:
+            self.to_meter = _ratio(params["to_meter"])
+        elif "units" in params:
+            self.to_meter = UNITS[str(params["units"])]
+        else:
+            self.to_meter = 1.0
+        self.fr_meter = 1.0 / self.to_meter
+        if "vto_meter" in params:
+            self.vto_meter = _ratio(params["vto_meter"])
+        elif "vunits" in params:
+            self.vto_meter = UNITS[str(params["vunits"])]
+        else:
+            self.vto_meter = self.to_meter
+        self.vfr_meter = 1.0 / self.vto_meter
+        self.over = "over" in params
+        self.geoc = "geoc" in params
+        self._datum_shift = _build_datum_shift(params)
+        self.setup()
+
+    def setup(self):  # pragma: no cover - overridden
+        pass
+
+    # raw kernels -----------------------------------------------------------
+    def _fwd(self, x, y, z, t):
+        raise NotImplementedError
+
+    def _inv(self, x, y, z, t):
+        raise NotImplementedError
+
+    # generic wrappers ------------------------------------------------------
+    def fwd(self, x, y, z=None, t=None):
+        """prepare -> kernel -> finalize (reference src/fwd.cpp:255-296)."""
+        x = np.asarray(x, dtype=np.float64).copy()
+        y = np.asarray(y, dtype=np.float64).copy()
+        z = np.zeros_like(x) if z is None else np.asarray(z, dtype=np.float64).copy()
+        t = np.zeros_like(x) if t is None else np.asarray(t, dtype=np.float64).copy()
+
+        if self.left == U_RADIANS:
+            # fwd_prepare: validate + poison (reference src/fwd.cpp:53-77)
+            bad = (np.abs(y) - HALF_PI > EPS_LAT) | (np.abs(x) > 10.0)
+            x = np.where(bad, np.nan, x)
+            y = np.where(bad, np.nan, np.clip(y, -HALF_PI, HALF_PI))
+            if self.geoc:
+                # geocentric -> geographic latitude (src/geocentric_latitude)
+                y = np.arctan(np.tan(y) / self.ell.one_es)
+            if not self.over:
+                x = adjlon(x)
+            if self._datum_shift is not None:
+                # WGS84 geodetic -> local datum geodetic (fwd.cpp:91-100)
+                cw, hm, cl = self._datum_shift
+                x, y, z, t = cw.fwd(x, y, z, t)
+                if hm is not None:
+                    x, y, z, t = hm.inv(x, y, z, t)
+                x, y, z, t = cl.inv(x, y, z, t)
+            x = x - self.lam0
+            if not self.over:
+                x = adjlon(x)
+
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            x, y, z, t = self._fwd(x, y, z, t)
+
+        # fwd_finalize (reference src/fwd.cpp:123-174)
+        if self.right == U_CLASSIC:
+            x = self.fr_meter * (x * self.ell.a + self.x0)
+            y = self.fr_meter * (y * self.ell.a + self.y0)
+            z = self.vfr_meter * (z + self.z0)
+        elif self.right == U_PROJECTED:
+            x = self.fr_meter * (x + self.x0)
+            y = self.fr_meter * (y + self.y0)
+            z = self.vfr_meter * (z + self.z0)
+        elif self.right == U_CARTESIAN:
+            x = x * self.fr_meter
+            y = y * self.fr_meter
+            z = z * self.fr_meter
+        elif self.right == U_RADIANS:
+            z = self.vfr_meter * (z + self.z0)
+        mask = np.isnan(x) | np.isnan(y)
+        x = np.where(mask, np.nan, x)
+        y = np.where(mask, np.nan, y)
+        return x, y, z, t
+
+    def inv(self, x, y, z=None, t=None):
+        """Inverse wrapper (reference src/inv.cpp, symmetric to fwd)."""
+        x = np.asarray(x, dtype=np.float64).copy()
+        y = np.asarray(y, dtype=np.float64).copy()
+        z = np.zeros_like(x) if z is None else np.asarray(z, dtype=np.float64).copy()
+        t = np.zeros_like(x) if t is None else np.asarray(t, dtype=np.float64).copy()
+
+        # inv_prepare: undo finalize
+        if self.right == U_CLASSIC:
+            x = (x * self.to_meter - self.x0) * self.ell.ra
+            y = (y * self.to_meter - self.y0) * self.ell.ra
+            z = z * self.vto_meter - self.z0
+        elif self.right == U_PROJECTED:
+            x = x * self.to_meter - self.x0
+            y = y * self.to_meter - self.y0
+            z = z * self.vto_meter - self.z0
+        elif self.right == U_CARTESIAN:
+            x = x * self.to_meter
+            y = y * self.to_meter
+            z = z * self.to_meter
+        elif self.right == U_RADIANS:
+            z = z * self.vto_meter - self.z0
+
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            x, y, z, t = self._inv(x, y, z, t)
+
+        # inv_finalize: re-offset central meridian, wrap, geoc
+        if self.left == U_RADIANS:
+            x = x + self.lam0
+            if not self.over:
+                x = adjlon(x)
+            if self._datum_shift is not None:
+                # local datum geodetic -> WGS84 geodetic (inv.cpp:126-135)
+                cw, hm, cl = self._datum_shift
+                x, y, z, t = cl.fwd(x, y, z, t)
+                if hm is not None:
+                    x, y, z, t = hm.fwd(x, y, z, t)
+                x, y, z, t = cw.inv(x, y, z, t)
+            if self.geoc:
+                y = np.arctan(self.ell.one_es * np.tan(y))
+        mask = np.isnan(x) | np.isnan(y)
+        x = np.where(mask, np.nan, x)
+        y = np.where(mask, np.nan, y)
+        return x, y, z, t
+
+    def apply(self, direction: str, x, y, z=None, t=None):
+        return self.fwd(x, y, z, t) if direction == "forward" else self.inv(x, y, z, t)
+
+    # io units in a given direction (for harness deg<->rad handling)
+    def input_units(self, direction: str) -> str:
+        return self.left if direction == "forward" else self.right
+
+    def output_units(self, direction: str) -> str:
+        return self.right if direction == "forward" else self.left
+
+
+class Pipeline:
+    """``+proj=pipeline +step ...`` sequential composition
+    (reference src/conversions/pipeline.cpp:110-193): each step runs its own
+    prepare/finalize; ``+inv`` flips a step; the pipeline inverse runs steps
+    reversed with directions flipped; push/pop via 4 value stacks."""
+
+    name = "pipeline"
+    has_inverse = True
+
+    def __init__(self, steps):
+        # steps: list of (Operator | PushOp | PopOp, direction str)
+        self.steps = steps
+
+    @property
+    def left(self):
+        # first step with a concrete unit tag (pipeline.cpp pipeline_setup
+        # scans past WHATEVER steps)
+        for op, d in self.steps:
+            u = op.left if d == "forward" else op.right
+            if u != U_WHATEVER:
+                return u
+        return U_WHATEVER
+
+    @property
+    def right(self):
+        for op, d in reversed(self.steps):
+            u = op.right if d == "forward" else op.left
+            if u != U_WHATEVER:
+                return u
+        return U_WHATEVER
+
+    def input_units(self, direction):
+        return self.left if direction == "forward" else self.right
+
+    def output_units(self, direction):
+        return self.right if direction == "forward" else self.left
+
+    def fwd(self, x, y, z=None, t=None):
+        return self._run(x, y, z, t, "forward")
+
+    def inv(self, x, y, z=None, t=None):
+        return self._run(x, y, z, t, "inverse")
+
+    def apply(self, direction, x, y, z=None, t=None):
+        return self._run(x, y, z, t, direction)
+
+    def _run(self, x, y, z, t, direction):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        z = np.zeros_like(x) if z is None else np.asarray(z, dtype=np.float64)
+        t = np.zeros_like(x) if t is None else np.asarray(t, dtype=np.float64)
+        stacks = {1: [], 2: [], 3: [], 4: []}
+        steps = self.steps if direction == "forward" else [
+            (op, ("inverse" if d == "forward" else "forward")) for op, d in reversed(self.steps)
+        ]
+        for op, d in steps:
+            if op.name == "push":
+                # push in fwd direction; acts as pop when pipeline inverted
+                cols = {1: x, 2: y, 3: z, 4: t}
+                if d == "forward":
+                    for i in op.slots:
+                        stacks[i].append(cols[i].copy())
+                else:
+                    vals = {}
+                    for i in op.slots:
+                        if stacks[i]:
+                            vals[i] = stacks[i].pop()
+                    x = vals.get(1, x)
+                    y = vals.get(2, y)
+                    z = vals.get(3, z)
+                    t = vals.get(4, t)
+                continue
+            if op.name == "pop":
+                cols = {1: x, 2: y, 3: z, 4: t}
+                if d == "forward":
+                    vals = {}
+                    for i in op.slots:
+                        if stacks[i]:
+                            vals[i] = stacks[i].pop()
+                    x = vals.get(1, x)
+                    y = vals.get(2, y)
+                    z = vals.get(3, z)
+                    t = vals.get(4, t)
+                else:
+                    for i in op.slots:
+                        stacks[i].append(cols[i].copy())
+                continue
+            x, y, z, t = op.apply(d, x, y, z, t)
+        return x, y, z, t
+
+
+class PushPop:
+    """push/pop pseudo-steps (reference src/conversions/pipeline.cpp:117-148).
+    Outside a pipeline they are coordinate no-ops."""
+
+    left = U_WHATEVER
+    right = U_WHATEVER
+    has_inverse = True
+
+    def __init__(self, params: dict, name: str):
+        self.name = name
+        self.slots = tuple(i for i in (1, 2, 3, 4) if f"v_{i}" in params)
+
+    def fwd(self, x, y, z=None, t=None):
+        z = np.zeros_like(x) if z is None else z
+        t = np.zeros_like(x) if t is None else t
+        return x, y, z, t
+
+    inv = fwd
+
+    def apply(self, direction, x, y, z=None, t=None):
+        return self.fwd(x, y, z, t)
+
+    def input_units(self, direction):
+        return U_WHATEVER
+
+    def output_units(self, direction):
+        return U_WHATEVER
+
+
+# ---------------------------------------------------------------------------
+# Registry + factory
+# ---------------------------------------------------------------------------
+_REGISTRY: dict[str, type] = {}
+
+
+def register(cls):
+    _REGISTRY[cls.name] = cls
+    for alias in getattr(cls, "aliases", ()):
+        _REGISTRY[alias] = cls
+    return cls
+
+
+def available_ops():
+    return sorted(_REGISTRY)
+
+
+def create_operator(params: dict):
+    """proj-param dict -> Operator instance (the reference's
+    locate_constructor dispatch, src/init.cpp:422-432)."""
+    name = params.get("proj")
+    if name == "pipeline":
+        raise ValueError("use create_pipeline for +proj=pipeline")
+    if name in ("push", "pop"):
+        return PushPop(params, name)
+    if name not in _REGISTRY:
+        raise KeyError(f"unsupported operator: +proj={name}")
+    return _REGISTRY[name](params, name)

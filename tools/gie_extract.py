@@ -1,0 +1,218 @@
+"""Extract gie golden test vectors from the reference test suite into JSON.
+
+Parses the reference's gie DSL (verbs per src/apps/gie.cpp:153-163 and
+docs/source/apps/gie.rst) and emits tests/vectors/gie_vectors.json with one
+record per (operation, accept/expect) case, for ops the engine supports.
+The JSON is committed so the repo is standalone; rerun this tool to refresh:
+
+    python tools/gie_extract.py [--reference /root/reference]
+
+Tolerance semantics preserved: default 0.5 mm (gie.cpp:277), per-block
+`tolerance` overrides, `direction`, `roundtrip`, and `expect failure`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+VERBS = {
+    "operation", "accept", "expect", "tolerance", "roundtrip", "direction",
+    "ignore", "require_grid", "echo", "skip", "use_proj4_init_rules", "banner",
+    "verbose",
+}
+
+# ops the engine implements: read the live registry so the fixture always
+# matches what proj_spark can actually run
+def _supported_ops() -> set[str]:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import proj_spark  # noqa: F401
+
+    from proj_spark.ops import available_ops
+
+    return set(available_ops()) | {"pipeline", "push", "pop"}
+
+
+SUPPORTED_OPS: set[str] = set()
+
+# params we cannot honour yet -> drop the whole block
+UNSUPPORTED_PARAMS = {
+    "axis", "nadgrids", "geoidgrids", "approx", "algo", "init",
+    "pm", "o_proj", "guam", "lon_wrap", "geoid_crs", "omit_fwd", "omit_inv",
+}
+
+_num_re = re.compile(r"[-+0-9.eE]+")
+
+
+def _coord(tok: str) -> float:
+    """Decimal or DMS coordinate token -> float degrees (src/dmstor.cpp)."""
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from proj_spark.ops import parse_angle
+
+    return parse_angle(tok)
+
+
+def _proj_names(op_def: str) -> list[str]:
+    return re.findall(r"\+proj=(\S+)", op_def)
+
+
+def _param_keys(op_def: str) -> set[str]:
+    return set(re.findall(r"\+([A-Za-z_0-9]+)", op_def))
+
+
+def _tol_to_m(val: float, unit: str) -> float:
+    scale = {"km": 1000.0, "m": 1.0, "dm": 0.1, "cm": 0.01, "mm": 1e-3,
+             "um": 1e-6, "nm": 1e-9}[unit]
+    return val * scale
+
+
+def parse_gie(path: str) -> list[dict]:
+    records = []
+    suite = os.path.splitext(os.path.basename(path))[0]
+    with open(path, encoding="utf-8", errors="replace") as f:
+        lines = f.readlines()
+
+    op_def = None
+    op_lines: list[str] = []
+    collecting_op = False
+    direction = "forward"
+    tolerance = 5e-4  # gie.cpp:277
+    accept = None
+    last_expect_ok = False
+
+    def flush_op():
+        nonlocal op_def, collecting_op
+        if op_lines:
+            op_def = " ".join(" ".join(op_lines).split())
+        op_lines.clear()
+        collecting_op = False
+
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("<") or set(line) <= {"=", "-"}:
+            continue
+        # strip trailing comments
+        if "#" in line:
+            line = line.split("#", 1)[0].strip()
+        toks = line.split()
+        verb = toks[0]
+        if verb not in VERBS and collecting_op:
+            op_lines.append(line)
+            continue
+        if verb != "operation":
+            flush_op()
+        if verb == "operation":
+            flush_op()
+            op_lines.append(line[len("operation"):].strip())
+            collecting_op = True
+            direction = "forward"
+            tolerance = 5e-4
+            accept = None
+        elif verb == "direction":
+            direction = toks[1]
+        elif verb == "tolerance":
+            m = re.match(r"([-+0-9.eE]+)\s*([a-z]*)", " ".join(toks[1:]))
+            tolerance = _tol_to_m(float(m.group(1)), m.group(2) or "m")
+        elif verb == "accept":
+            try:
+                accept = [_coord(v) for v in toks[1:]]
+            except ValueError:
+                accept = None
+        elif verb == "expect":
+            if accept is None:
+                continue
+            if toks[1] == "failure":
+                errno = toks[-1] if "errno" in toks else None
+                if accept is not None and op_def:
+                    records.append({
+                        "suite": suite, "op_def": op_def,
+                        "direction": direction, "accept": accept,
+                        "expect_failure": True, "errno": errno,
+                        "tolerance_m": tolerance,
+                    })
+                last_expect_ok = False
+                continue
+            try:
+                expect = [_coord(v) for v in toks[1:]]
+            except ValueError:
+                last_expect_ok = False
+                continue
+            if accept is not None and op_def:
+                records.append({
+                    "suite": suite, "op_def": op_def, "direction": direction,
+                    "accept": accept, "expect": expect,
+                    "tolerance_m": tolerance,
+                })
+                last_expect_ok = True
+        elif verb == "roundtrip":
+            n = int(toks[1]) if len(toks) > 1 else 100
+            tol = tolerance
+            if len(toks) > 3:
+                tol = _tol_to_m(float(toks[2]), toks[3])
+            if accept is not None and op_def and last_expect_ok:
+                records.append({
+                    "suite": suite, "op_def": op_def, "direction": direction,
+                    "accept": accept, "roundtrip": n, "tolerance_m": tol,
+                })
+    flush_op()
+    return records
+
+
+def filter_supported(records: list[dict]) -> tuple[list[dict], dict]:
+    kept = []
+    skipped: dict[str, int] = {}
+    for r in records:
+        names = _proj_names(r["op_def"])
+        if not names:
+            continue
+        unsup = [n for n in names if n not in SUPPORTED_OPS]
+        if unsup:
+            skipped[unsup[0]] = skipped.get(unsup[0], 0) + 1
+            continue
+        bad = _param_keys(r["op_def"]) & UNSUPPORTED_PARAMS
+        if bad:
+            skipped[f"param:{sorted(bad)[0]}"] = skipped.get(f"param:{sorted(bad)[0]}", 0) + 1
+            continue
+        kept.append(r)
+    return kept, skipped
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..",
+                                                  "tests", "vectors", "gie_vectors.json"))
+    ap.add_argument("--files", nargs="*", default=["builtins.gie", "more_builtins.gie",
+                                                   "unitconvert.gie", "axisswap.gie",
+                                                   "ellipsoid.gie", "4D-API_cs2cs-style.gie"])
+    args = ap.parse_args()
+
+    SUPPORTED_OPS.update(_supported_ops())
+    all_records = []
+    for name in args.files:
+        path = os.path.join(args.reference, "test", "gie", name)
+        if not os.path.exists(path):
+            print(f"missing {path}", file=sys.stderr)
+            continue
+        all_records.extend(parse_gie(path))
+    kept, skipped = filter_supported(all_records)
+    out = os.path.abspath(args.out)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(kept, f, indent=1)
+    print(f"extracted {len(kept)} cases ({len(all_records)} parsed) -> {out}")
+    top = sorted(skipped.items(), key=lambda kv: -kv[1])[:25]
+    print("top skipped:", top)
+
+
+if __name__ == "__main__":
+    main()
