@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship query (extract -> transform -> tile counts) on sf0.001.
+queries(): one callable per implemented operator (proj_spark.querylib).
+oracle_sql(): equivalent DuckDB SQL per query where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages -> coordinate extraction -> webmerc tiling -> counts."""
+    from proj_spark import querylib
+
+    querylib.register_views(spark, "/root/testdata/sf0.001")
+    return querylib.QUERIES["extract_tile_counts"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from proj_spark import querylib
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {}
+    for name, fn in querylib.QUERIES.items():
+        def wrapper(spark, sf_dir, _fn=fn):
+            querylib.register_views(spark, sf_dir)
+            return _fn(spark, sf_dir)
+        out[name] = wrapper
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from proj_spark import querylib
+
+    return dict(querylib.ORACLES)

@@ -1,0 +1,102 @@
+"""Deterministic Common-Crawl-style `pages` fixture, derived from the
+driver's `documents` table with pure integer arithmetic + string concat so
+Spark SQL and DuckDB build *byte-identical* rows (the engine's
+byte-identical-text-per-url invariant, BASELINE.json input_hint, is asserted
+by hashing both sides' text).
+
+Schema (FIXTURES.md §1): url, warc_ts(epoch s), html(binary), text, lang.
+A deterministic mix of coordinate embeddings:
+  - doc_id % 97 == 13      -> poison row (|lat| > 90, must NaN out downstream)
+  - doc_id % 10 in (0,1,2) -> geo.position meta tag, clustered into 20
+                              hot cities (exercises skew/salting)
+  - doc_id % 10 in (3,4,5) -> ICBM meta tag, uniform coordinates
+  - doc_id % 10 == 6       -> plain "location: lat, lon" text
+  - else                   -> no coordinates
+"""
+
+from __future__ import annotations
+
+# integer fixed-point coordinate strings: sign || whole || '.' || lpad(frac)
+# (never float-to-string formatting — engine-dependent)
+_LAT_I = "(CAST((doc_id * 2654435761 + 40503) % 17000000 AS BIGINT) - 8500000)"
+_LON_I = "(CAST((doc_id * 2246822519 + 10369) % 36000000 AS BIGINT) - 18000000)"
+# clustered (hot-city) variant: 20 bands + small jitter
+_CLAT_I = ("(CAST((doc_id * 7919) % 20 AS BIGINT) * 700000 - 7000000"
+           " + CAST((doc_id * 104729) % 20000 AS BIGINT) - 10000)")
+_CLON_I = ("(CAST((doc_id * 6271) % 20 AS BIGINT) * 1700000 - 17000000"
+           " + CAST((doc_id * 15485863) % 20000 AS BIGINT) - 10000)")
+
+
+def _fixed(int_expr: str, alias: str) -> str:
+    """SQL building a fixed-point 5-decimal string from an integer 1e-5 deg."""
+    a = f"ABS({int_expr})"
+    return (f"(CASE WHEN {int_expr} < 0 THEN '-' ELSE '' END || "
+            f"CAST(CAST(({a} - ({a} % 100000)) / 100000.0 AS BIGINT) AS BIGINT) || '.' || "
+            f"lpad('' || ({a} % 100000), 5, '0')) AS {alias}")
+
+
+PAGES_CTE = f"""
+page_coords AS (
+  SELECT doc_id, text AS body, lang,
+         {_fixed(_LAT_I, 'ulat')},
+         {_fixed(_LON_I, 'ulon')},
+         {_fixed(_CLAT_I, 'clat')},
+         {_fixed(_CLON_I, 'clon')}
+  FROM documents
+),
+pages AS (
+  SELECT doc_id,
+         'https://crawl.example/' || lang || '/' || doc_id AS url,
+         CAST(1704067200 + (doc_id * 997) % 31536000 AS BIGINT) AS warc_epoch,
+         body || (CASE
+           WHEN doc_id % 97 = 13 THEN ' <meta name="geo.position" content="95.12345;10.00000">'
+           WHEN doc_id % 10 < 3 THEN ' <meta name="geo.position" content="' || clat || ';' || clon || '">'
+           WHEN doc_id % 10 < 6 THEN ' <meta name="ICBM" content="' || ulat || ', ' || ulon || '">'
+           WHEN doc_id % 10 = 6 THEN ' location: ' || ulat || ', ' || ulon
+           ELSE '' END) AS text,
+         lang
+  FROM page_coords
+)
+"""
+
+# extraction: LIKE pre-filter + regex group pull (reference analogue: the
+# scan-side coordinate extraction operator; regex kept backslash-free so the
+# same literal parses identically in Spark SQL and DuckDB)
+EXTRACT_CTE = PAGES_CTE + """,
+extracted AS (
+  SELECT url, lang, warc_epoch,
+         CAST(CASE
+           WHEN text LIKE '%geo.position%'
+             THEN regexp_extract(text, 'geo[.]position" content="(-?[0-9.]+);(-?[0-9.]+)"', 1)
+           WHEN text LIKE '%ICBM%'
+             THEN regexp_extract(text, 'ICBM" content="(-?[0-9.]+), (-?[0-9.]+)"', 1)
+           WHEN text LIKE '%location: %'
+             THEN regexp_extract(text, 'location: (-?[0-9.]+), (-?[0-9.]+)', 1)
+           END AS DOUBLE) AS lat,
+         CAST(CASE
+           WHEN text LIKE '%geo.position%'
+             THEN regexp_extract(text, 'geo[.]position" content="(-?[0-9.]+);(-?[0-9.]+)"', 2)
+           WHEN text LIKE '%ICBM%'
+             THEN regexp_extract(text, 'ICBM" content="(-?[0-9.]+), (-?[0-9.]+)"', 2)
+           WHEN text LIKE '%location: %'
+             THEN regexp_extract(text, 'location: (-?[0-9.]+), (-?[0-9.]+)', 2)
+           END AS DOUBLE) AS lon
+  FROM pages
+)
+"""
+
+
+def build_pages(spark, sf_dir: str, scale: int = 1):
+    """Materialize the pages fixture as a DataFrame. ``scale`` > 1 replicates
+    documents with distinct doc_ids (bench-scale amplification)."""
+    from .querylib import register_views
+    register_views(spark, sf_dir)
+    if scale > 1:
+        spark.sql(f"""
+          CREATE OR REPLACE TEMP VIEW documents AS
+          SELECT d.doc_id * {scale} + r.id AS doc_id,
+                 d.text, d.lang, d.source, d.n_chars
+          FROM (SELECT * FROM documents) d,
+               (SELECT explode(sequence(0, {scale - 1})) AS id) r
+        """)
+    return spark.sql(f"WITH {PAGES_CTE} SELECT * FROM pages")

@@ -1,0 +1,658 @@
+"""Driver-contract query library: Spark queries + DuckDB oracle SQL pairs.
+
+Each entry runs the engine's Spark-side implementation (DataFrame API +
+vectorized pandas-UDF kernels) and carries an equivalent ANSI-SQL oracle that
+DuckDB executes over the same parquet tables. Numeric outputs are rounded
+coarsely (integer metres / 1e-4..1e-7 deg) so cross-engine libm ulp noise
+cannot flip the driver's value hash — the *precision* bars (0.5 mm gie, 1e-9
+deg roundtrip) are asserted in pytest against reference vectors instead
+(tests/test_gie.py).
+
+Synthetic coordinates are derived from the testdata tables with pure integer
+arithmetic (exact in both engines) so Spark and DuckDB see bit-identical
+inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .kernels.cyl import _KrugerConstants
+from .crs import create
+from .stages import apply_transform
+from .ops import Pipeline
+
+def C(v) -> str:
+    """Emit a float constant as CAST(x AS DOUBLE): DuckDB parses bare decimal
+    literals as DECIMAL and overflows in long products; Spark parses them as
+    DECIMAL too. Exponent-free, engine-portable."""
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def register_views(spark, sf_dir: str):
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Shared point-derivation CTEs (identical text in Spark SQL and DuckDB;
+# integer arithmetic -> bit-identical doubles in both engines)
+# ---------------------------------------------------------------------------
+
+# global points: lon in [-180, 180), lat in [-85, 85)
+POINTS_CTE = """
+points AS (
+  SELECT l_orderkey * 8 + l_linenumber AS pid,
+         CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 36000000 AS DOUBLE) / 100000.0 - 180.0 AS lon,
+         CAST((l_orderkey * 2246822519 + l_linenumber * 10369) % 17000000 AS DOUBLE) / 100000.0 - 85.0 AS lat,
+         CAST((l_orderkey * 97 + l_linenumber) % 9000 AS DOUBLE) / 1.0 AS h
+  FROM lineitem
+)
+"""
+
+# zone-local points for UTM/LCC/AEA: lon [0,12), lat [38,58)
+ZONE_POINTS_CTE = """
+zpoints AS (
+  SELECT l_orderkey * 8 + l_linenumber AS pid,
+         CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 1200000 AS DOUBLE) / 100000.0 + 0.0 AS lon,
+         CAST((l_orderkey * 2246822519 + l_linenumber * 10369) % 2000000 AS DOUBLE) / 100000.0 + 38.0 AS lat
+  FROM lineitem
+)
+"""
+
+
+def _sql_points(spark, cte: str, name: str):
+    return spark.sql(f"WITH {cte} SELECT * FROM {name}")
+
+
+# ---------------------------------------------------------------------------
+# helpers to build oracle math fragments
+# ---------------------------------------------------------------------------
+
+def _atanh(x: str) -> str:
+    return f"(0.5*ln((1.0+{x})/(1.0-{x})))"
+
+
+def _asinh(x: str) -> str:
+    return f"ln({x} + sqrt({x}*{x} + 1.0))"
+
+
+def _tsfn(sinp: str, cosp: str, e: float) -> str:
+    """exp(e*atanh(e*sin)) * stable-half-angle (reference src/tsfn.cpp:6)."""
+    return (f"(exp({C(e)}*{_atanh(f'({C(e)}*{sinp})')}) * "
+            f"(CASE WHEN {sinp} > 0 THEN {cosp}/(1.0+{sinp}) "
+            f"ELSE (1.0-{sinp})/{cosp} END))")
+
+
+def _qsfn(sinp: str, e: float, one_es: float) -> str:
+    return (f"({C(one_es)} * ({sinp}/(1.0-{C(e)}*{C(e)}*{sinp}*{sinp})"
+            f" - (0.5/{C(e)})*ln((1.0-{C(e)}*{sinp})/(1.0+{C(e)}*{sinp}))))")
+
+
+# ---------------------------------------------------------------------------
+# Query + oracle registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# --- webmerc forward (EPSG:3857) ------------------------------------------
+
+_WEBMERC_A = 6378137.0
+
+@q("webmerc_fwd", f"""
+WITH {POINTS_CTE}
+SELECT pid,
+       ROUND({C(_WEBMERC_A)} * radians(lon), 0) AS x_m,
+       ROUND({C(_WEBMERC_A)} * ln(tan(pi()/4.0 + radians(lat)/2.0)), 0) AS y_m
+FROM points
+""")
+def q_webmerc_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, create("+proj=webmerc +ellps=WGS84"), "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"), F.round("y", 0).alias("y_m"))
+
+
+# --- ellipsoidal Mercator with lat_ts -------------------------------------
+
+_MERC_E = np.sqrt(0.0066943800229007876)  # GRS80 es
+_MERC_ELL = create("+proj=merc +lat_ts=30 +ellps=GRS80")
+
+@q("merc_ell_fwd", f"""
+WITH {POINTS_CTE}
+SELECT pid,
+       ROUND({C(_MERC_ELL.ell.a)} * {C(_MERC_ELL.k0)} * radians(lon), 0) AS x_m,
+       ROUND({C(_MERC_ELL.ell.a)} * {C(_MERC_ELL.k0)} * ({_asinh('(sin(radians(lat))/cos(radians(lat)))')}
+             - {C(_MERC_ELL.ell.e)} * {_atanh(f'({C(_MERC_ELL.ell.e)}*sin(radians(lat)))')}), 0) AS y_m
+FROM points
+""")
+def q_merc_ell_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, _MERC_ELL, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"), F.round("y", 0).alias("y_m"))
+
+
+# --- eqc ---------------------------------------------------------------------
+
+_EQC = create("+proj=eqc +lat_ts=20 +ellps=GRS80")
+
+@q("eqc_fwd", f"""
+WITH {POINTS_CTE}
+SELECT pid,
+       ROUND({C(_EQC.ell.a)} * radians(lon) * {C(_EQC.rc)}, 0) AS x_m,
+       ROUND({C(_EQC.ell.a)} * radians(lat), 0) AS y_m
+FROM points
+""")
+def q_eqc_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, _EQC, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"), F.round("y", 0).alias("y_m"))
+
+
+# --- UTM zone 32 forward (6th-order Krüger oracle, generated) ---------------
+
+_UTM32 = create("+proj=utm +zone=32 +ellps=GRS80")
+
+
+def _utm_oracle() -> str:
+    kc: _KrugerConstants = _UTM32.kc
+    a = _UTM32.ell.a
+    lam0 = _UTM32.lam0
+    cbg_sum = " + ".join(
+        f"{C(kc.cbg[k])}*sin({2 * (k + 1)}.0*phi)" for k in range(6))
+    # complex series: Re += gtu_k*sin(2k Cn)*cosh(2k Ce); Im += gtu_k*cos(2k Cn)*sinh(2k Ce)
+    re_sum = " + ".join(
+        f"{C(kc.gtu[k])}*sin({2 * (k + 1)}.0*cn2)*((exp({2 * (k + 1)}.0*ce)+exp(-{2 * (k + 1)}.0*ce))/2.0)"
+        for k in range(6))
+    im_sum = " + ".join(
+        f"{C(kc.gtu[k])}*cos({2 * (k + 1)}.0*cn2)*((exp({2 * (k + 1)}.0*ce)-exp(-{2 * (k + 1)}.0*ce))/2.0)"
+        for k in range(6))
+    return f"""
+WITH {ZONE_POINTS_CTE}
+SELECT pid,
+       ROUND({C(kc.qn)} * (ce + {im_sum}) * {C(a)} + 500000.0, 0) AS x_m,
+       ROUND(({C(kc.qn)} * (cn2 + {re_sum}) + {C(kc.zb)}) * {C(a)}, 0) AS y_m
+FROM (
+  SELECT pid, cn2, {_asinh('tan_ce')} AS ce
+  FROM (
+    SELECT pid,
+           atan2(sin(chi), cos(chi)*cos(lam)) AS cn2,
+           sin(lam)*cos(chi)/sqrt(sin(chi)*sin(chi) + cos(chi)*cos(lam)*cos(chi)*cos(lam)) AS tan_ce
+    FROM (
+      SELECT pid, phi + {cbg_sum} AS chi, lam
+      FROM (
+        SELECT pid, radians(lat) AS phi, radians(lon) - {C(lam0)} AS lam
+        FROM zpoints
+      ) t1
+    ) t2
+  ) t3
+) t4
+"""
+
+
+@q("utm_fwd", _utm_oracle())
+def q_utm_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, ZONE_POINTS_CTE, "zpoints")
+    df = apply_transform(df, _UTM32, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"), F.round("y", 0).alias("y_m"))
+
+
+# --- UTM roundtrip (tests the Krüger inverse; oracle = identity) -------------
+
+@q("utm_roundtrip", f"""
+WITH {ZONE_POINTS_CTE}
+SELECT pid, 1 AS lon_ok, 1 AS lat_ok
+FROM zpoints
+""")
+def q_utm_roundtrip(spark, sf_dir):
+    # fwd∘inv drift must be < 1e-8 deg (~1 mm) per the north-star roundtrip
+    # bar; emitting the boolean keeps the cross-engine hash free of
+    # rounding-cliff flips (the raw 1e-9-deg assertion lives in pytest)
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, ZONE_POINTS_CTE, "zpoints")
+    rt = Pipeline([(_UTM32, "forward"), (_UTM32, "inverse")])
+    df = apply_transform(df, rt, "lon", "lat", out_cols=("lon2", "lat2"))
+    return df.select(
+        "pid",
+        (F.abs(F.col("lon2") - F.col("lon")) < 1e-8).cast("int").alias("lon_ok"),
+        (F.abs(F.col("lat2") - F.col("lat")) < 1e-8).cast("int").alias("lat_ok"))
+
+
+# --- LCC (Lambert-93 parameters) ---------------------------------------------
+
+_LCC = create("+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 "
+              "+x_0=700000 +y_0=6600000 +ellps=GRS80")
+
+
+def _lcc_oracle() -> str:
+    o = _LCC
+    e = o.ell.e
+    ts = _tsfn("sin(phi)", "cos(phi)", e)
+    return f"""
+WITH {ZONE_POINTS_CTE}
+SELECT pid,
+       ROUND({C(o.ell.a)} * (rho * sin({C(o.n)} * lam)) + 700000.0, 0) AS x_m,
+       ROUND({C(o.ell.a)} * ({C(o.rho0)} - rho * cos({C(o.n)} * lam)) + 6600000.0, 0) AS y_m
+FROM (
+  SELECT pid, {C(o.c)} * pow({ts}, {C(o.n)}) AS rho, lam
+  FROM (
+    SELECT pid, radians(lat) AS phi, radians(lon) - {C(o.lam0)} AS lam
+    FROM zpoints
+  ) t1
+) t2
+"""
+
+
+@q("lcc_fwd", _lcc_oracle())
+def q_lcc_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, ZONE_POINTS_CTE, "zpoints")
+    df = apply_transform(df, _LCC, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"), F.round("y", 0).alias("y_m"))
+
+
+# --- AEA (Albers, CONUS-style parameters but over the zpoints box) -----------
+
+_AEA = create("+proj=aea +lat_1=40 +lat_2=55 +lat_0=38 +lon_0=6 +ellps=GRS80")
+
+
+def _aea_oracle() -> str:
+    o = _AEA
+    e, one_es = o.ell.e, o.ell.one_es
+    qe = _qsfn("sin(phi)", e, one_es)
+    return f"""
+WITH {ZONE_POINTS_CTE}
+SELECT pid,
+       ROUND({C(o.ell.a)} * rho * sin({C(o.n)} * lam), 0) AS x_m,
+       ROUND({C(o.ell.a)} * ({C(o.rho0)} - rho * cos({C(o.n)} * lam)), 0) AS y_m
+FROM (
+  SELECT pid, {C(1.0 / o.n)} * sqrt({C(o.c)} - {C(o.n)} * {qe}) AS rho, lam, phi
+  FROM (
+    SELECT pid, radians(lat) AS phi, radians(lon) - {C(o.lam0)} AS lam
+    FROM zpoints
+  ) t1
+) t2
+"""
+
+
+@q("aea_fwd", _aea_oracle())
+def q_aea_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, ZONE_POINTS_CTE, "zpoints")
+    df = apply_transform(df, _AEA, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"), F.round("y", 0).alias("y_m"))
+
+
+# --- cart: geodetic -> geocentric XYZ ----------------------------------------
+
+_CART = create("+proj=cart +ellps=GRS80")
+
+
+def _cart_oracle() -> str:
+    ell = _CART.ell
+    return f"""
+WITH {POINTS_CTE}
+SELECT pid,
+       ROUND((n + h) * cos(phi) * cos(lam), 0) AS gx,
+       ROUND((n + h) * cos(phi) * sin(lam), 0) AS gy,
+       ROUND((n * {C(ell.one_es)} + h) * sin(phi), 0) AS gz
+FROM (
+  SELECT pid, h, radians(lat) AS phi, radians(lon) AS lam,
+         {C(ell.a)} / sqrt(1.0 - {C(ell.es)} * sin(radians(lat)) * sin(radians(lat))) AS n
+  FROM points
+) t1
+"""
+
+
+@q("cart_fwd", _cart_oracle())
+def q_cart_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, _CART, "lon", "lat", z_col="h",
+                         out_cols=("gx", "gy", "gz"))
+    return df.select("pid", F.round("gx", 0).alias("gx"),
+                     F.round("gy", 0).alias("gy"), F.round("gz", 0).alias("gz"))
+
+
+# --- geoc: geographic -> geocentric latitude ---------------------------------
+
+_GEOC = create("+proj=geoc +ellps=GRS80")
+
+@q("geoc_lat", f"""
+WITH {POINTS_CTE}
+SELECT pid,
+       ROUND(degrees(atan({C(_GEOC.ell.one_es)} * tan(radians(lat)))), 7) AS theta_deg
+FROM points
+""")
+def q_geoc_lat(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, _GEOC, "lon", "lat", out_cols=("lon2", "theta"))
+    return df.select("pid", F.round("theta", 7).alias("theta_deg"))
+
+
+# --- helmert 7-param on geocentric XYZ ---------------------------------------
+
+_HELM = create("+proj=helmert +x=67.35 +y=-122.88 +z=-80.54 "
+               "+rx=-0.218 +ry=-0.521 +rz=0.3884 +s=0.4204 "
+               "+convention=position_vector")
+
+
+def _helmert_oracle() -> str:
+    h = _HELM
+    from .kernels.datum import _rot_matrix
+    r = _rot_matrix(h.rx, h.ry, h.rz, h.exact, h.position_vector)
+    s = 1.0 + h.s * 1e-6
+    return f"""
+SELECT p_partkey AS pid,
+       ROUND({C(s)} * ({C(r[0,0])}*gx + {C(r[0,1])}*gy + {C(r[0,2])}*gz) + {C(h.x)}, 3) AS hx,
+       ROUND({C(s)} * ({C(r[1,0])}*gx + {C(r[1,1])}*gy + {C(r[1,2])}*gz) + {C(h.y)}, 3) AS hy,
+       ROUND({C(s)} * ({C(r[2,0])}*gx + {C(r[2,1])}*gy + {C(r[2,2])}*gz) + {C(h.z)}, 3) AS hz
+FROM (
+  SELECT p_partkey,
+         CAST((p_partkey * 2654435761) % 12000000 AS DOUBLE) - 6000000.0 AS gx,
+         CAST((p_partkey * 2246822519) % 12000000 AS DOUBLE) - 6000000.0 AS gy,
+         CAST((p_partkey * 3266489917) % 12000000 AS DOUBLE) - 6000000.0 AS gz
+  FROM part
+) t1
+"""
+
+
+@q("helmert_xyz", _helmert_oracle())
+def q_helmert_xyz(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = spark.sql("""
+      SELECT p_partkey,
+             CAST((p_partkey * 2654435761) % 12000000 AS DOUBLE) - 6000000.0 AS gx,
+             CAST((p_partkey * 2246822519) % 12000000 AS DOUBLE) - 6000000.0 AS gy,
+             CAST((p_partkey * 3266489917) % 12000000 AS DOUBLE) - 6000000.0 AS gz
+      FROM part""")
+    df = apply_transform(df, _HELM, "gx", "gy", z_col="gz",
+                         out_cols=("hx", "hy", "hz"))
+    return df.select(F.col("p_partkey").alias("pid"),
+                     F.round("hx", 3).alias("hx"),
+                     F.round("hy", 3).alias("hy"),
+                     F.round("hz", 3).alias("hz"))
+
+
+# --- molodensky --------------------------------------------------------------
+
+_MOLO = create("+proj=molodensky +ellps=GRS80 +dx=406.0 +dy=-108.0 +dz=-119.0 "
+               "+da=-251.0 +df=-1.41927e-05")
+
+
+def _molodensky_oracle() -> str:
+    o = _MOLO
+    a, es, f_ = o.ell.a, o.ell.es, o.ell.f
+    return f"""
+WITH {POINTS_CTE}
+SELECT pid,
+       ROUND(lon + degrees((-{C(o.dx)}*slam + {C(o.dy)}*clam) / ((nu + h) * cphi)), 5) AS lon_out,
+       ROUND(lat + degrees((-{C(o.dx)}*sphi*clam - {C(o.dy)}*sphi*slam + {C(o.dz)}*cphi
+             + (nu*{C(es)}*sphi*cphi*{C(o.da)})/{C(a)}
+             + sphi*cphi*(rho/{C(1.0 - f_)} + nu*{C(1.0 - f_)})*{C(o.df)}) / (rho + h)), 5) AS lat_out
+FROM (
+  SELECT pid, lon, lat, h,
+         sin(radians(lon)) AS slam, cos(radians(lon)) AS clam,
+         sin(radians(lat)) AS sphi, cos(radians(lat)) AS cphi,
+         {C(a)}*{C(1.0 - es)}/pow(1.0 - {C(es)}*sin(radians(lat))*sin(radians(lat)), 1.5) AS rho,
+         {C(a)}/sqrt(1.0 - {C(es)}*sin(radians(lat))*sin(radians(lat))) AS nu
+  FROM points
+) t1
+"""
+
+
+@q("molodensky_fwd", _molodensky_oracle())
+def q_molodensky_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, _MOLO, "lon", "lat", z_col="h",
+                         out_cols=("lon2", "lat2"))
+    return df.select("pid", F.round("lon2", 5).alias("lon_out"),
+                     F.round("lat2", 5).alias("lat_out"))
+
+
+# --- web-mercator Z/X/Y tiling (pure built-ins, no UDF) ----------------------
+
+_TILE_SQL = f"""
+WITH {POINTS_CTE},
+tiles AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 256.0) AS BIGINT) AS tx,
+         CAST(floor((1.0 - ln(tan(pi()/4.0 + radians(lat)/2.0)) / pi()) / 2.0 * 256.0) AS BIGINT) AS ty
+  FROM points
+)
+SELECT tx, ty, COUNT(*) AS n_docs
+FROM tiles
+GROUP BY tx, ty
+"""
+
+
+@q("tile_zxy_counts", _TILE_SQL)
+def q_tile_zxy(spark, sf_dir):
+    # identical SQL text on the Spark side: the whole plan stays JVM-side
+    # (scan -> project -> hash aggregate, no Python roundtrip)
+    return spark.sql(_TILE_SQL)
+
+
+# --- S2 cell assignment + counts (rows-only check; pytest covers semantics) --
+
+@q("s2_cell_counts")
+def q_s2_cell_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from .kernels import s2cell
+
+    df = _sql_points(spark, POINTS_CTE, "points")
+
+    @F.pandas_udf("long")
+    def cell12(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(s2cell.lonlat_to_cell(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), 12))
+
+    return (df.withColumn("cell", cell12("lon", "lat"))
+              .groupBy("cell").agg(F.count("*").alias("n_docs"))
+              .orderBy(F.desc("n_docs"), "cell"))
+
+
+# ===========================================================================
+# Web-text / pages queries (documents, embeddings, events tables)
+# ===========================================================================
+
+from .pagesgen import EXTRACT_CTE, PAGES_CTE  # noqa: E402
+
+# --- coordinate extraction (regex scan operator; shared SQL text) ------------
+
+_EXTRACT_SQL = f"""
+WITH {EXTRACT_CTE}
+SELECT url, lat, lon
+FROM extracted
+WHERE lat IS NOT NULL
+"""
+
+
+@q("extract_coords", _EXTRACT_SQL)
+def q_extract_coords(spark, sf_dir):
+    # same SQL text runs JVM-side in Spark: LIKE + regexp_extract are
+    # whole-stage-codegen expressions; no Python in the scan path
+    return spark.sql(_EXTRACT_SQL)
+
+
+# --- byte-identity invariant: hash of generated page text --------------------
+
+_TEXT_HASH_SQL = f"""
+WITH {PAGES_CTE}
+SELECT url, md5(text) AS text_md5
+FROM pages
+"""
+
+
+@q("pages_text_hash", _TEXT_HASH_SQL)
+def q_pages_text_hash(spark, sf_dir):
+    return spark.sql(_TEXT_HASH_SQL)
+
+
+# --- flagship: extract -> domain-filter -> webmerc tile counts ---------------
+
+_E2E_TILE_SQL = f"""
+WITH {EXTRACT_CTE},
+good AS (
+  SELECT url, lat, lon FROM extracted
+  WHERE lat IS NOT NULL AND ABS(lat) <= 85.06 AND ABS(lon) <= 180.0
+),
+tiles AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 1024.0) AS BIGINT) AS tx,
+         CAST(floor((1.0 - ln(tan(pi()/4.0 + radians(lat)/2.0)) / pi()) / 2.0 * 1024.0) AS BIGINT) AS ty
+  FROM good
+)
+SELECT tx, ty, COUNT(*) AS n_docs
+FROM tiles
+GROUP BY tx, ty
+"""
+
+
+@q("extract_tile_counts", _E2E_TILE_SQL)
+def q_extract_tile_counts(spark, sf_dir):
+    return spark.sql(_E2E_TILE_SQL)
+
+
+# --- exact dedup (hash-groupBy; first training-data op) ----------------------
+
+_DEDUP_SQL = """
+WITH dup_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT h AS text_md5, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+FROM (SELECT doc_id, md5(text) AS h FROM dup_docs) t
+GROUP BY h
+HAVING COUNT(*) > 1
+"""
+
+
+@q("dedup_exact", _DEDUP_SQL)
+def q_dedup_exact(spark, sf_dir):
+    return spark.sql(_DEDUP_SQL)
+
+
+# --- language stats (per-lang doc counts + token counts) ---------------------
+
+_LANG_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars,
+       SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS sum_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@q("lang_stats", _LANG_SQL)
+def q_lang_stats(spark, sf_dir):
+    return spark.sql(_LANG_SQL)
+
+
+# --- per-doc text quality metrics --------------------------------------------
+
+_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_token_len,
+       CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS n_e
+FROM documents
+"""
+
+
+@q("text_quality", _QUALITY_SQL)
+def q_text_quality(spark, sf_dir):
+    return spark.sql(_QUALITY_SQL)
+
+
+# --- hourly event rollup (batch form; streaming variant in tests) ------------
+
+@q("events_hourly", """
+SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS hour_bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY hour_bucket, event_type
+""")
+def q_events_hourly(spark, sf_dir):
+    # Spark spelling of the epoch bucket differs from DuckDB's epoch()
+    return spark.sql("""
+      SELECT CAST(floor(CAST(unix_timestamp(ts) AS DOUBLE) / 3600.0) AS BIGINT) AS hour_bucket,
+             event_type,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM events
+      GROUP BY hour_bucket, event_type
+    """)
+
+
+# --- ANN: brute-force cosine top-5 (oracle-checked baseline) ------------------
+
+@q("ann_cosine_top5", """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT qs.qid, e.vec_id AS nid,
+         ROUND(list_cosine_similarity(qs.qv, e.v), 9) AS sim
+  FROM qs, e
+  WHERE e.vec_id <> qs.qid
+),
+ranked AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM pairs
+)
+SELECT qid, rank, nid, ROUND(sim, 6) AS sim
+FROM ranked WHERE rank <= 5
+""")
+def q_ann_cosine_top5(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    e = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    e = e.withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
+    qs = (e.filter(F.col("vec_id") % 50 == 0)
+            .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                    F.col("norm").alias("qnorm")))
+    # broadcast the small query side; candidates stream (scale path: the big
+    # side never shuffles for the join itself)
+    pairs = e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    pairs = pairs.select(
+        "qid", F.col("vec_id").alias("nid"),
+        F.round(dot / (F.col("norm") * F.col("qnorm")), 9).alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
+    ranked = pairs.withColumn("rank", F.row_number().over(w))
+    return (ranked.filter(F.col("rank") <= 5)
+                  .select("qid", "rank", "nid", F.round("sim", 6).alias("sim")))

@@ -1,0 +1,35 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults mirror what we'd set per-executor on a real cluster:
+Arrow batches for the pandas-UDF kernels (the engine's SoA execution path,
+SURVEY.md §1.2-1.3), AQE + skew-join handling on (north rule: explicit skew
+handling), UTC session timezone for DuckDB oracle parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "proj_spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
