@@ -27,6 +27,8 @@ HEADLINE = [
     "cart_fwd",
     "helmert_xyz",
     "s2_cell_counts",
+    "pip_pairs",
+    "knn_top5",
     "dedup_exact",
     "ann_cosine_top5",
     "events_hourly",

@@ -1,0 +1,148 @@
+"""Spatial joins: point-in-polygon and kNN, Spark-native.
+
+PIP (north rule): a **cell-prefix hash join** — polygons are exploded to
+their grid-cell cover (driver-side, build side is small: admin boundaries),
+points get the same cell key with pure JVM expressions, the equi-join runs
+as a broadcast hash join, and candidates are refined by the vectorized
+crossing-number kernel (reference pnpoly semantics,
+src/projections/healpix.cpp:132-165) in ONE Arrow-batched pandas UDF with
+the edge arrays broadcast to executors.
+
+kNN: grid-cell **neighbor expansion** with an exactness guarantee — each
+query probes its 3×3 cell block; if the k-th candidate distance exceeds the
+certified radius (distance from the query to the block boundary), the query
+escalates to a brute-force pass. All distance math is exact int64 (scaled
+1e-5-deg fixed point), so results match the SQL oracle bit-for-bit.
+
+Scale notes (100 TB): the points side never shuffles for PIP (broadcast
+join + mapPartitions-style UDF); skew from huge polygons ("ocean") only
+fans out candidate *rows*, which AQE splits; for kNN the big side shuffles
+once on cell, hot cells are handled by AQE skew-join; escalation volume is
+bounded by the cell size chosen vs data density.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import geo_fixtures
+from .kernels import pip as pipk
+
+PIP_CELL_I = 1_000_000   # 10° cells for polygon cover join
+KNN_CELL_I = 1_000_000   # 10° cells for kNN neighbor expansion
+
+
+def polygons_df(spark, cell_i: int = PIP_CELL_I) -> DataFrame:
+    """Build side: (polygon_id, cell_x, cell_y) cover rows."""
+    rows = []
+    for p in geo_fixtures.polygons():
+        for cx, cy in geo_fixtures.cover_cells(p, cell_i):
+            rows.append((p["polygon_id"], cx, cy))
+    return spark.createDataFrame(rows, "polygon_id string, cell_x long, cell_y long")
+
+
+def _edge_arrays():
+    """polygon_id -> (x1, y1, x2, y2) int64 arrays, all rings."""
+    by_pid: dict[str, list] = {}
+    for pid, x1, y1, x2, y2 in geo_fixtures.edges():
+        by_pid.setdefault(pid, []).append((x1, y1, x2, y2))
+    return {
+        pid: tuple(np.array(col, dtype=np.int64) for col in zip(*rows))
+        for pid, rows in by_pid.items()
+    }
+
+
+def pip_join(spark, points: DataFrame, lon_col: str = "lon_i",
+             lat_col: str = "lat_i", cell_i: int = PIP_CELL_I) -> DataFrame:
+    """points (with int64 scaled coords) -> rows (point cols..., polygon_id)
+    for every containing polygon. Exact even-odd semantics incl. holes."""
+    sc = spark.sparkContext
+    edges_bc = sc.broadcast(_edge_arrays())
+
+    cell = float(cell_i)
+    pts = (points
+           .withColumn("cell_x", F.floor(F.col(lon_col) / cell).cast("long"))
+           .withColumn("cell_y", F.floor(F.col(lat_col) / cell).cast("long")))
+    cand = pts.join(F.broadcast(polygons_df(spark, cell_i)),
+                    on=["cell_x", "cell_y"])
+
+    @F.pandas_udf("boolean")
+    def inside(lon: pd.Series, lat: pd.Series, pid: pd.Series) -> pd.Series:
+        ed = edges_bc.value
+        px = lon.to_numpy(np.int64)
+        py = lat.to_numpy(np.int64)
+        out = np.zeros(len(px), dtype=bool)
+        codes, uniques = pd.factorize(pid)
+        for gi, gpid in enumerate(uniques):
+            m = codes == gi
+            out[m] = pipk.points_in_polygon(px[m], py[m], ed[gpid])
+        return pd.Series(out)
+
+    return (cand.filter(inside(F.col(lon_col), F.col(lat_col), F.col("polygon_id")))
+                .drop("cell_x", "cell_y"))
+
+
+def knn_join(spark, queries: DataFrame, points: DataFrame, k: int = 5,
+             cell_i: int = KNN_CELL_I) -> DataFrame:
+    """Exact planar kNN on int64 scaled coords.
+
+    queries: (qid long, qx long, qy long); points: (pid long, px long, py long).
+    Returns (qid, rank, pid, dist_sq) with deterministic (dist_sq, pid)
+    tie-break — identical to the brute-force oracle.
+    """
+    from pyspark.sql.window import Window
+
+    cell = float(cell_i)
+    pts = (points
+           .withColumn("cell_x", F.floor(F.col("px") / cell).cast("long"))
+           .withColumn("cell_y", F.floor(F.col("py") / cell).cast("long")))
+
+    # probe side: explode each query to its 3x3 neighbor cells
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("long").alias("ox"),
+        (F.floor(F.col("id") / 3) - 1).cast("long").alias("oy"))
+    q = (queries
+         .withColumn("qcx", F.floor(F.col("qx") / cell).cast("long"))
+         .withColumn("qcy", F.floor(F.col("qy") / cell).cast("long"))
+         .crossJoin(F.broadcast(offs))
+         .select("qid", "qx", "qy", "qcx", "qcy",
+                 (F.col("qcx") + F.col("ox")).alias("cell_x"),
+                 (F.col("qcy") + F.col("oy")).alias("cell_y")))
+
+    dist = ((F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+            + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy")))
+    w = Window.partitionBy("qid").orderBy("dist_sq", "pid")
+    cand = (pts.join(F.broadcast(q), on=["cell_x", "cell_y"])
+               .select("qid", "qx", "qy", "qcx", "qcy", "pid",
+                       dist.alias("dist_sq"))
+               .withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k))
+
+    # certification: k-th distance must not exceed the squared distance from
+    # the query point to the 3x3 block boundary (beyond which unseen points
+    # could exist). gx/gy = distance to nearest block edge in scaled units.
+    gx = F.least(F.col("qx") - (F.col("qcx") - 1) * F.lit(cell_i),
+                 (F.col("qcx") + 2) * F.lit(cell_i) - F.col("qx"))
+    gy = F.least(F.col("qy") - (F.col("qcy") - 1) * F.lit(cell_i),
+                 (F.col("qcy") + 2) * F.lit(cell_i) - F.col("qy"))
+    guar = F.least(gx, gy)
+    stats = (cand.groupBy("qid")
+                 .agg(F.max("dist_sq").alias("kth"), F.count("*").alias("n"),
+                      F.first(guar).alias("g"))
+                 .withColumn("certified",
+                             (F.col("n") >= k) & (F.col("kth") <= F.col("g") * F.col("g"))))
+
+    ok = cand.join(stats.filter("certified").select("qid"), on="qid")
+    bad_q = (queries.join(stats.filter("certified").select("qid"), on="qid",
+                          how="left_anti"))
+
+    # escalation: brute force for uncertified queries (rare; exact)
+    brute = (points.crossJoin(F.broadcast(bad_q))
+                   .select("qid", "pid", dist.alias("dist_sq"))
+                   .withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= k))
+
+    cols = ["qid", "rank", "pid", "dist_sq"]
+    return ok.select(*cols).unionByName(brute.select(*cols))

@@ -656,3 +656,91 @@ def q_ann_cosine_top5(spark, sf_dir):
     ranked = pairs.withColumn("rank", F.row_number().over(w))
     return (ranked.filter(F.col("rank") <= 5)
                   .select("qid", "rank", "nid", F.round("sim", 6).alias("sim")))
+
+
+# ===========================================================================
+# Spatial joins (north-rule core): PIP cell-prefix join + exact kNN
+# ===========================================================================
+
+from . import geo_fixtures  # noqa: E402
+from . import joins  # noqa: E402
+
+# integer fixed-point (1e-5 deg) points — same generator as POINTS_CTE but
+# kept in scaled int64 so every PIP/kNN comparison is exact in both engines
+IPOINTS_CTE = """
+ipoints AS (
+  SELECT DISTINCT l_orderkey * 8 + l_linenumber AS pid,
+         CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 36000000 AS BIGINT) - 18000000 AS lon_i,
+         CAST((l_orderkey * 2246822519 + l_linenumber * 10369) % 17000000 AS BIGINT) - 8500000 AS lat_i
+  FROM lineitem
+)
+"""
+
+QPOINTS_CTE = """
+qpoints AS (
+  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS qid,
+         CAST((c_custkey * 1103515245 + 12345) % 36000000 AS BIGINT) - 18000000 AS qx,
+         CAST((c_custkey * 69069 + 1) % 17000000 AS BIGINT) - 8500000 AS qy
+  FROM customer WHERE c_custkey % 25 = 0
+)
+"""
+
+_PIP_CROSSING_SQL = f"""
+WITH {IPOINTS_CTE},
+edge_hits AS (
+  SELECT p.pid, e.polygon_id,
+         SUM(CASE WHEN ((e.ey1 > p.lat_i) <> (e.ey2 > p.lat_i))
+                   AND (CASE WHEN e.ey2 > e.ey1
+                        THEN (p.lon_i - e.ex1)*(e.ey2 - e.ey1) < (e.ex2 - e.ex1)*(p.lat_i - e.ey1)
+                        ELSE (p.lon_i - e.ex1)*(e.ey2 - e.ey1) > (e.ex2 - e.ex1)*(p.lat_i - e.ey1)
+                        END)
+              THEN 1 ELSE 0 END) AS n_cross
+  FROM ipoints p
+  CROSS JOIN {geo_fixtures.edges_sql_values()}
+  GROUP BY p.pid, e.polygon_id
+)
+"""
+
+
+@q("pip_pairs", _PIP_CROSSING_SQL.replace("AS edges(", "AS e(") + """
+SELECT pid, polygon_id
+FROM edge_hits
+WHERE n_cross % 2 = 1
+""")
+def q_pip_pairs(spark, sf_dir):
+    pts = spark.sql(f"WITH {IPOINTS_CTE} SELECT * FROM ipoints")
+    return joins.pip_join(spark, pts).select("pid", "polygon_id")
+
+
+@q("pip_counts", _PIP_CROSSING_SQL.replace("AS edges(", "AS e(") + """
+SELECT polygon_id, COUNT(*) AS n_points
+FROM edge_hits
+WHERE n_cross % 2 = 1
+GROUP BY polygon_id
+""")
+def q_pip_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+    pts = spark.sql(f"WITH {IPOINTS_CTE} SELECT * FROM ipoints")
+    return (joins.pip_join(spark, pts)
+            .groupBy("polygon_id").agg(F.count("*").alias("n_points")))
+
+
+@q("knn_top5", f"""
+WITH {IPOINTS_CTE}, {QPOINTS_CTE},
+pairs AS (
+  SELECT q.qid, p.pid,
+         (p.lon_i - q.qx)*(p.lon_i - q.qx) + (p.lat_i - q.qy)*(p.lat_i - q.qy) AS dist_sq
+  FROM qpoints q CROSS JOIN ipoints p
+),
+ranked AS (
+  SELECT qid, pid, dist_sq,
+         row_number() OVER (PARTITION BY qid ORDER BY dist_sq, pid) AS rank
+  FROM pairs
+)
+SELECT qid, rank, pid, dist_sq FROM ranked WHERE rank <= 5
+""")
+def q_knn_top5(spark, sf_dir):
+    pts = (spark.sql(f"WITH {IPOINTS_CTE} SELECT * FROM ipoints")
+           .selectExpr("pid", "lon_i AS px", "lat_i AS py"))
+    qs = spark.sql(f"WITH {QPOINTS_CTE} SELECT * FROM qpoints")
+    return joins.knn_join(spark, qs, pts, k=5)
