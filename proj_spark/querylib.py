@@ -744,3 +744,193 @@ def q_knn_top5(spark, sf_dir):
            .selectExpr("pid", "lon_i AS px", "lat_i AS py"))
     qs = spark.sql(f"WITH {QPOINTS_CTE} SELECT * FROM qpoints")
     return joins.knn_join(spark, qs, pts, k=5)
+
+
+# ===========================================================================
+# Azimuthal projections + geodesic queries
+# ===========================================================================
+
+# --- polar stereographic (ellipsoidal, lat_ts) -------------------------------
+
+_STERE = create("+proj=stere +lat_0=90 +lat_ts=70 +ellps=GRS80")
+
+
+def _stere_oracle() -> str:
+    o = _STERE
+    e = o.ell.e
+    ts = _tsfn("sin(phi)", "cos(phi)", e)
+    return f"""
+WITH {ZONE_POINTS_CTE}
+SELECT pid,
+       ROUND({C(o.ell.a)} * {C(o.akm1)} * {ts} * sin(lam), 0) AS x_m,
+       ROUND(-{C(o.ell.a)} * {C(o.akm1)} * {ts} * cos(lam), 0) AS y_m
+FROM (
+  SELECT pid, radians(lat) AS phi, radians(lon) AS lam
+  FROM zpoints
+) t1
+"""
+
+
+@q("stere_polar_fwd", _stere_oracle())
+def q_stere_polar_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, ZONE_POINTS_CTE, "zpoints")
+    df = apply_transform(df, _STERE, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"), F.round("y", 0).alias("y_m"))
+
+
+# --- LAEA (ETRS89-LAEA parameters, EPSG:3035) --------------------------------
+
+_LAEA = create("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80")
+
+
+def _laea_oracle() -> str:
+    o = _LAEA
+    e, one_es = o.ell.e, o.ell.one_es
+    qf = _qsfn("sin(phi)", e, one_es)
+    return f"""
+WITH {ZONE_POINTS_CTE}
+SELECT pid,
+       ROUND({C(o.ell.a)} * {C(o.xmf)} * b * cosb * sin(lam) + 4321000.0, 0) AS x_m,
+       ROUND({C(o.ell.a)} * {C(o.ymf)} * b * ({C(o.cosb1)} * sinb - {C(o.sinb1)} * cosb * cos(lam)) + 3210000.0, 0) AS y_m
+FROM (
+  SELECT pid, lam, sinb, cosb,
+         sqrt(2.0 / (1.0 + {C(o.sinb1)} * sinb + {C(o.cosb1)} * cosb * cos(lam))) AS b
+  FROM (
+    SELECT pid, lam, sinb, sqrt(1.0 - sinb * sinb) AS cosb
+    FROM (
+      SELECT pid, lam, {qf} / {C(o.qp)} AS sinb
+      FROM (
+        SELECT pid, radians(lat) AS phi, radians(lon) - {C(o.lam0)} AS lam
+        FROM zpoints
+      ) t1
+    ) t2
+  ) t3
+) t4
+"""
+
+
+@q("laea_fwd", _laea_oracle())
+def q_laea_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, ZONE_POINTS_CTE, "zpoints")
+    df = apply_transform(df, _LAEA, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"), F.round("y", 0).alias("y_m"))
+
+
+# --- spherical aeqd (oblique closed form) ------------------------------------
+
+_AEQD_SPH = create("+proj=aeqd +lat_0=40 +lon_0=6 +R=6371000")
+
+_AEQD_ORACLE = f"""
+WITH {ZONE_POINTS_CTE}
+SELECT pid,
+       ROUND(6371000.0 * k * cos(phi) * sin(lam), 0) AS x_m,
+       ROUND(6371000.0 * k * ({C(np.cos(_AEQD_SPH.phi0))} * sin(phi)
+             - {C(np.sin(_AEQD_SPH.phi0))} * cos(phi) * cos(lam)), 0) AS y_m
+FROM (
+  SELECT pid, phi, lam, CASE WHEN c = 0 THEN 1.0 ELSE c / sin(c) END AS k
+  FROM (
+    SELECT pid, phi, lam,
+           acos({C(np.sin(_AEQD_SPH.phi0))} * sin(phi)
+                + {C(np.cos(_AEQD_SPH.phi0))} * cos(phi) * cos(lam)) AS c
+    FROM (
+      SELECT pid, radians(lat) AS phi, radians(lon) - {C(_AEQD_SPH.lam0)} AS lam
+      FROM zpoints
+    ) t1
+  ) t2
+) t3
+"""
+
+
+@q("aeqd_sphere_fwd", _AEQD_ORACLE)
+def q_aeqd_sphere_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, ZONE_POINTS_CTE, "zpoints")
+    df = apply_transform(df, _AEQD_SPH, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"), F.round("y", 0).alias("y_m"))
+
+
+# --- geodesic inverse on the sphere = great circle ---------------------------
+
+_SPHERE_R = 6371000.0
+
+@q("geod_inverse_sphere", f"""
+WITH {IPOINTS_CTE}, {QPOINTS_CTE}
+SELECT p.pid, q.qid,
+       ROUND({C(_SPHERE_R)} * acos(LEAST(1.0, GREATEST(-1.0,
+           sin(radians(q.qy / 100000.0)) * sin(radians(p.lat_i / 100000.0))
+         + cos(radians(q.qy / 100000.0)) * cos(radians(p.lat_i / 100000.0))
+           * cos(radians(p.lon_i / 100000.0) - radians(q.qx / 100000.0))))), 2) AS s12_m
+FROM ipoints p JOIN qpoints q ON p.pid % 101 = 0 AND q.qid % 4 = 0
+""")
+def q_geod_inverse_sphere(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from .kernels.core import Ellipsoid
+    from .kernels import geodesic as geod
+
+    pairs = spark.sql(f"""
+      WITH {IPOINTS_CTE}, {QPOINTS_CTE}
+      SELECT p.pid, q.qid,
+             CAST(p.lon_i AS DOUBLE) / 100000.0 AS lon1, CAST(p.lat_i AS DOUBLE) / 100000.0 AS lat1,
+             CAST(q.qx AS DOUBLE) / 100000.0 AS lon2, CAST(q.qy AS DOUBLE) / 100000.0 AS lat2
+      FROM ipoints p JOIN qpoints q ON p.pid % 101 = 0 AND q.qid % 4 = 0""")
+
+    sph = Ellipsoid(_SPHERE_R, _SPHERE_R)
+
+    @F.pandas_udf("double")
+    def s12(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+        r = np.pi / 180.0
+        s, _, _ = geod.geod_inverse(sph, lon1.to_numpy(np.float64) * r, lat1.to_numpy(np.float64) * r,
+                                    lon2.to_numpy(np.float64) * r, lat2.to_numpy(np.float64) * r)
+        return pd.Series(s)
+
+    return pairs.select("pid", "qid",
+                        F.round(s12("lon1", "lat1", "lon2", "lat2"), 2).alias("s12_m"))
+
+
+# --- geodesic direct on the sphere -------------------------------------------
+
+@q("geod_direct_sphere", f"""
+WITH {QPOINTS_CTE},
+params AS (
+  SELECT qid, radians(qx / 100000.0) AS lam1, radians(qy / 100000.0) AS phi1,
+         radians(CAST(qid * 37 % 360 AS DOUBLE) - 180.0) AS az,
+         CAST(qid * 131071 % 5000000 AS DOUBLE) / {C(_SPHERE_R)} AS delta
+  FROM qpoints
+)
+SELECT qid,
+       ROUND(degrees(phi1) * 0 + degrees(asin(sin(phi1) * cos(delta) + cos(phi1) * sin(delta) * cos(az))), 6) AS lat2,
+       ROUND(lon2r - 360.0 * floor((lon2r + 180.0) / 360.0), 6) AS lon2
+FROM (
+  SELECT qid, phi1,
+         degrees(lam1 + atan2(sin(az) * sin(delta) * cos(phi1),
+                 cos(delta) - sin(phi1) * (sin(phi1) * cos(delta) + cos(phi1) * sin(delta) * cos(az)))) AS lon2r,
+         delta, az
+  FROM params
+) t5
+""")
+def q_geod_direct_sphere(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from .kernels.core import Ellipsoid
+    from .kernels import geodesic as geod
+
+    df = spark.sql(f"""
+      WITH {QPOINTS_CTE}
+      SELECT qid, CAST(qx AS DOUBLE) / 100000.0 AS lon1, CAST(qy AS DOUBLE) / 100000.0 AS lat1,
+             CAST(qid * 37 % 360 AS DOUBLE) - 180.0 AS azi_deg,
+             CAST(qid * 131071 % 5000000 AS DOUBLE) AS s_m
+      FROM qpoints""")
+
+    sph = Ellipsoid(_SPHERE_R, _SPHERE_R)
+
+    @F.pandas_udf("struct<lon2:double, lat2:double>")
+    def dest(lon1: pd.Series, lat1: pd.Series, azi: pd.Series, s: pd.Series) -> pd.DataFrame:
+        r = np.pi / 180.0
+        lo2, la2, _ = geod.geod_direct(sph, lon1.to_numpy(np.float64) * r, lat1.to_numpy(np.float64) * r,
+                                       azi.to_numpy(np.float64) * r, s.to_numpy(np.float64))
+        return pd.DataFrame({"lon2": lo2 / r, "lat2": la2 / r})
+
+    df = df.withColumn("_d", dest("lon1", "lat1", "azi_deg", "s_m"))
+    return df.select("qid", F.round("_d.lat2", 6).alias("lat2"),
+                     F.round("_d.lon2", 6).alias("lon2"))

@@ -16,7 +16,8 @@ import numpy as np
 import pytest
 
 import proj_spark
-from proj_spark.kernels.core import DEG_TO_RAD, RAD_TO_DEG, lp_dist_m, Ellipsoid
+from proj_spark.kernels.core import DEG_TO_RAD, RAD_TO_DEG, Ellipsoid
+from proj_spark.kernels.geodesic import geod_dist_m as lp_dist_m
 from proj_spark.ops import U_DEGREES, U_RADIANS
 
 VEC_PATH = os.path.join(os.path.dirname(__file__), "vectors", "gie_vectors.json")
@@ -85,6 +86,14 @@ def test_gie_case(case):
         got = op.apply(case["direction"], *_prep_input(op, case["direction"], case["accept"]))
         assert not (np.isfinite(got[0][0]) and np.isfinite(got[1][0])), (
             f"expected failure (NaN), got {got} for {case['op_def']}")
+        return
+
+    if any(np.isnan(v) for v in case["accept"][:2]):
+        # NaN input must propagate NaN to all components
+        # (reference src/4D_api.cpp:540-542)
+        got = op.apply(case["direction"], *_prep_input(op, case["direction"], case["accept"]))
+        assert np.isnan(got[0][0]) and np.isnan(got[1][0]), (
+            f"NaN input must poison output, got {got}")
         return
 
     inp = _prep_input(op, case["direction"], case["accept"])
