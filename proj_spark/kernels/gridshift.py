@@ -1,0 +1,136 @@
+"""Grid-based datum shifts: hgridshift / vgridshift over raster side-tables.
+
+Re-expresses the reference's grid-interpolation transformations
+(src/transformations/hgridshift.cpp:211, vgridshift.cpp:251, unified
+gridshift.cpp:1,022 — bilinear interpolation :337-356, iterative inverse
+bounded by MAX_ITERATIONS 10 :601) as vectorized numpy over in-memory
+grids. The reference loads NTv2/GTX/GTiff rasters via its grid cache
+(src/grids.cpp); this engine has no external data, so grids come from a
+registry of deterministic synthetic builders (grid values are a pure
+integer function of (row, col), which lets the DuckDB oracle recompute the
+exact same corner values inline — bilinear is pure arithmetic, so Spark
+and the oracle agree bit-for-bit).
+
+Spark-side scale note: grids used here are broadcast-sized (executors hold
+the numpy arrays via closure). For continent-scale grid sets at 100 TB the
+same operator factors into a cell-keyed equi-join (points keyed by grid
+cell -> join 4 corner rows -> weighted sum); querylib's
+``raster_join_shift`` query implements that join form with pure DataFrame
+ops so both physical strategies are exercised.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import Operator, register, U_RADIANS
+from .core import RAD_TO_DEG, DEG_TO_RAD
+
+
+class SyntheticGrid:
+    """World grid, NTv2-style: shifts in arcsec (+ dz metres)."""
+
+    def __init__(self, lon0: float, lat0: float, dlon: float, dlat: float,
+                 width: int, height: int):
+        self.lon0, self.lat0 = lon0, lat0
+        self.dlon, self.dlat = dlon, dlat
+        self.width, self.height = width, height
+        col = np.arange(width)[None, :]
+        row = np.arange(height)[:, None]
+        self.dlon_as = self._val(row, col, 0)
+        self.dlat_as = self._val(row, col, 1)
+        self.dz_m = self._val(row, col, 2)
+
+    @staticmethod
+    def _val(row, col, band):
+        """Deterministic integer-formula band values; mirrored verbatim in
+        the SQL oracle (querylib._grid_val_sql)."""
+        k = (row * 7919 + col * 104729 + band * 15485863) % 2000 - 1000
+        return k / 100.0  # [-10, 10) arcsec / metres, 0.01 steps
+
+    def interp(self, lon_deg, lat_deg):
+        """Bilinear-interpolated (dlon_as, dlat_as, dz_m); NaN outside."""
+        fx = (lon_deg - self.lon0) / self.dlon
+        fy = (lat_deg - self.lat0) / self.dlat
+        inside = (fx >= 0) & (fx <= self.width - 1) & (fy >= 0) & (fy <= self.height - 1)
+        c0 = np.clip(np.floor(fx), 0, self.width - 2).astype(np.int64)
+        r0 = np.clip(np.floor(fy), 0, self.height - 2).astype(np.int64)
+        wx = fx - c0
+        wy = fy - r0
+        out = []
+        for band in (self.dlon_as, self.dlat_as, self.dz_m):
+            v = (band[r0, c0] * (1 - wx) * (1 - wy)
+                 + band[r0, c0 + 1] * wx * (1 - wy)
+                 + band[r0 + 1, c0] * (1 - wx) * wy
+                 + band[r0 + 1, c0 + 1] * wx * wy)
+            out.append(np.where(inside, v, np.nan))
+        return out
+
+
+_GRIDS: dict[str, SyntheticGrid] = {}
+
+
+def get_grid(name: str) -> SyntheticGrid:
+    if name not in _GRIDS:
+        if name == "synthetic_world":
+            _GRIDS[name] = SyntheticGrid(-180.0, -90.0, 5.0, 5.0, 73, 37)
+        elif name == "synthetic_fine":
+            _GRIDS[name] = SyntheticGrid(-10.0, 35.0, 0.25, 0.25, 161, 101)
+        else:
+            raise KeyError(f"unknown grid {name}")
+    return _GRIDS[name]
+
+
+class _GridShiftBase(Operator):
+    left = U_RADIANS
+    right = U_RADIANS
+
+    def setup(self):
+        self.grid = get_grid(str(self.params.get("grids", "synthetic_world")))
+
+    def _shift(self, lam, phi):
+        dlon_as, dlat_as, dz = self.grid.interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
+        return dlon_as, dlat_as, dz
+
+
+@register
+class Hgridshift(_GridShiftBase):
+    """Horizontal grid shift (reference hgridshift.cpp; inverse =
+    fixed-point iteration like gridshift.cpp:594-640, <=10 iterations)."""
+
+    name = "hgridshift"
+
+    def _fwd(self, lam, phi, z, t):
+        dlon_as, dlat_as, _ = self._shift(lam, phi)
+        sec2rad = DEG_TO_RAD / 3600.0
+        return lam + dlon_as * sec2rad, phi + dlat_as * sec2rad, z, t
+
+    def _inv(self, lam, phi, z, t):
+        lam_t, phi_t = lam, phi
+        lam_c, phi_c = lam.copy(), phi.copy()
+        sec2rad = DEG_TO_RAD / 3600.0
+        for _ in range(10):
+            dlon_as, dlat_as, _ = self._shift(lam_c, phi_c)
+            lam_c = lam_t - dlon_as * sec2rad
+            phi_c = phi_t - dlat_as * sec2rad
+        return lam_c, phi_c, z, t
+
+
+@register
+class Vgridshift(_GridShiftBase):
+    """Vertical (geoid) grid shift (reference vgridshift.cpp): fwd adds the
+    interpolated dz, inverse subtracts it at the same horizontal position."""
+
+    name = "vgridshift"
+
+    def setup(self):
+        super().setup()
+        self.multiplier = float(self.params.get("multiplier", 1.0))
+
+    def _fwd(self, lam, phi, z, t):
+        _, _, dz = self._shift(lam, phi)
+        return lam, phi, z + self.multiplier * dz, t
+
+    def _inv(self, lam, phi, z, t):
+        _, _, dz = self._shift(lam, phi)
+        return lam, phi, z - self.multiplier * dz, t

@@ -934,3 +934,127 @@ def q_geod_direct_sphere(spark, sf_dir):
     df = df.withColumn("_d", dest("lon1", "lat1", "azi_deg", "s_m"))
     return df.select("qid", F.round("_d.lat2", 6).alias("lat2"),
                      F.round("_d.lon2", 6).alias("lon2"))
+
+
+# ===========================================================================
+# Raster lookup joins: grid shifts (hgridshift / vgridshift) two ways
+# ===========================================================================
+
+from .kernels import gridshift as gs  # noqa: E402
+
+_HG = create("+proj=hgridshift +grids=synthetic_world")
+_VG = create("+proj=vgridshift +grids=synthetic_world")
+
+
+def _grid_val_sql(row: str, col: str, band: int) -> str:
+    """SQL mirror of SyntheticGrid._val — exact integer arithmetic."""
+    return (f"(CAST(({row} * 7919 + {col} * 104729 + {band} * 15485863) % 2000 AS DOUBLE)"
+            f" - 1000.0) / 100.0")
+
+
+def _bilinear_sql(band: int) -> str:
+    v00 = _grid_val_sql("r0", "c0", band)
+    v10 = _grid_val_sql("r0", "(c0 + 1)", band)
+    v01 = _grid_val_sql("(r0 + 1)", "c0", band)
+    v11 = _grid_val_sql("(r0 + 1)", "(c0 + 1)", band)
+    return (f"({v00} * (1.0 - wx) * (1.0 - wy) + {v10} * wx * (1.0 - wy)"
+            f" + {v01} * (1.0 - wx) * wy + {v11} * wx * wy)")
+
+
+_GRID_CELL_CTE = f"""
+gcells AS (
+  SELECT pid, lon, lat, h,
+         CAST(GREATEST(0.0, LEAST(71.0, floor((lon + 180.0) / 5.0))) AS BIGINT) AS c0,
+         CAST(GREATEST(0.0, LEAST(35.0, floor((lat + 90.0) / 5.0))) AS BIGINT) AS r0,
+         (lon + 180.0) / 5.0 - CAST(GREATEST(0.0, LEAST(71.0, floor((lon + 180.0) / 5.0))) AS BIGINT) AS wx,
+         (lat + 90.0) / 5.0 - CAST(GREATEST(0.0, LEAST(35.0, floor((lat + 90.0) / 5.0))) AS BIGINT) AS wy
+  FROM points
+)
+"""
+
+
+@q("hgridshift_fwd", f"""
+WITH {POINTS_CTE}, {_GRID_CELL_CTE}
+SELECT pid,
+       ROUND(lon + {_bilinear_sql(0)} / 3600.0, 7) AS lon_out,
+       ROUND(lat + {_bilinear_sql(1)} / 3600.0, 7) AS lat_out
+FROM gcells
+""")
+def q_hgridshift_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, _HG, "lon", "lat", out_cols=("lon2", "lat2"))
+    return df.select("pid", F.round("lon2", 7).alias("lon_out"),
+                     F.round("lat2", 7).alias("lat_out"))
+
+
+@q("hgridshift_roundtrip", f"""
+WITH {POINTS_CTE}
+SELECT pid, 1 AS ok FROM points
+""")
+def q_hgridshift_roundtrip(spark, sf_dir):
+    # inverse is the reference's bounded fixed-point iteration
+    # (gridshift.cpp:594-640); drift must be < 1e-8 deg (~1 mm)
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    rt = Pipeline([(_HG, "forward"), (_HG, "inverse")])
+    df = apply_transform(df, rt, "lon", "lat", out_cols=("lon2", "lat2"))
+    return df.select(
+        "pid",
+        ((F.abs(F.col("lon2") - F.col("lon")) < 1e-8)
+         & (F.abs(F.col("lat2") - F.col("lat")) < 1e-8)).cast("int").alias("ok"))
+
+
+@q("vgridshift_fwd", f"""
+WITH {POINTS_CTE}, {_GRID_CELL_CTE}
+SELECT pid, ROUND(h + {_bilinear_sql(2)}, 7) AS z_out
+FROM gcells
+""")
+def q_vgridshift_fwd(spark, sf_dir):
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, _VG, "lon", "lat", z_col="h",
+                         out_cols=("lon2", "lat2", "z2"))
+    return df.select("pid", F.round("z2", 7).alias("z_out"))
+
+
+@q("raster_join_shift", f"""
+WITH {POINTS_CTE}, {_GRID_CELL_CTE}
+SELECT pid,
+       ROUND(lon + {_bilinear_sql(0)} / 3600.0, 7) AS lon_out,
+       ROUND(lat + {_bilinear_sql(1)} / 3600.0, 7) AS lat_out
+FROM (SELECT DISTINCT pid, lon, lat, c0, r0, wx, wy FROM gcells) g
+""")
+def q_raster_join_shift(spark, sf_dir):
+    """The JOIN form of the raster lookup (north rule raster<->vector):
+    points keyed by grid cell, exploded to 4 corners, equi-joined against
+    the grid *table*, weighted-summed back. Pure DataFrame ops — the grid
+    side broadcasts; at continent scale the same plan shuffles on cell id."""
+    from pyspark.sql import functions as F
+
+    grid = spark.sql("""
+      SELECT CAST(id / 73 AS BIGINT) AS grow, CAST(id % 73 AS BIGINT) AS gcol,
+             (CAST((CAST(id / 73 AS BIGINT) * 7919 + (id % 73) * 104729) % 2000 AS DOUBLE) - 1000.0) / 100.0 AS dlon_as,
+             (CAST((CAST(id / 73 AS BIGINT) * 7919 + (id % 73) * 104729 + 15485863) % 2000 AS DOUBLE) - 1000.0) / 100.0 AS dlat_as
+      FROM RANGE(0, 2701) t(id)
+    """)
+    pts = spark.sql(f"WITH {POINTS_CTE}, {_GRID_CELL_CTE} SELECT DISTINCT pid, lon, lat, c0, r0, wx, wy FROM gcells")
+    corners = spark.sql("""
+      SELECT CAST(id % 2 AS BIGINT) AS dx, CAST(id / 2 AS BIGINT) AS dy FROM RANGE(0, 4) t(id)
+    """)
+    w = (F.when((F.col("dx") == 0) & (F.col("dy") == 0), (1 - F.col("wx")) * (1 - F.col("wy")))
+          .when((F.col("dx") == 1) & (F.col("dy") == 0), F.col("wx") * (1 - F.col("wy")))
+          .when((F.col("dx") == 0) & (F.col("dy") == 1), (1 - F.col("wx")) * F.col("wy"))
+          .otherwise(F.col("wx") * F.col("wy")))
+    joined = (pts.crossJoin(F.broadcast(corners))
+                 .withColumn("grow", F.col("r0") + F.col("dy"))
+                 .withColumn("gcol", F.col("c0") + F.col("dx"))
+                 .withColumn("w", w)
+                 .join(F.broadcast(grid), on=["grow", "gcol"])
+                 .groupBy("pid", "lon", "lat")
+                 .agg(F.sum(F.col("w") * F.col("dlon_as")).alias("dlon"),
+                      F.sum(F.col("w") * F.col("dlat_as")).alias("dlat")))
+    return joined.select(
+        "pid",
+        F.round(F.col("lon") + F.col("dlon") / 3600.0, 7).alias("lon_out"),
+        F.round(F.col("lat") + F.col("dlat") / 3600.0, 7).alias("lat_out"))
