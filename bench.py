@@ -30,6 +30,7 @@ HEADLINE = [
     "pip_pairs",
     "knn_top5",
     "dedup_exact",
+    "minhash_lsh_pairs",
     "ann_cosine_top5",
     "events_hourly",
 ]

@@ -636,9 +636,13 @@ def q_ann_cosine_top5(spark, sf_dir):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    e = spark.table("embeddings").select(
+    base = spark.table("embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    var = (base.filter(F.col("vec_id") % 10 == 0)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform("v", lambda x: x * 1.01 + 0.003).alias("v")))
+    e = base.unionByName(var)
     e = e.withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
     qs = (e.filter(F.col("vec_id") % 50 == 0)
@@ -976,16 +980,31 @@ gcells AS (
 @q("hgridshift_fwd", f"""
 WITH {POINTS_CTE}, {_GRID_CELL_CTE}
 SELECT pid,
-       ROUND(lon + {_bilinear_sql(0)} / 3600.0, 7) AS lon_out,
-       ROUND(lat + {_bilinear_sql(1)} / 3600.0, 7) AS lat_out
+       lon + {_bilinear_sql(0)} / 3600.0 AS lon_out,
+       lat + {_bilinear_sql(1)} / 3600.0 AS lat_out
 FROM gcells
 """)
 def q_hgridshift_fwd(spark, sf_dir):
+    # degree-domain interpolation UDF: identical operation order to the
+    # oracle (lon + bilinear/3600), so outputs match bit-for-bit. The
+    # radians-path operator is exercised by hgridshift_roundtrip instead
+    # (the deg->rad->deg boundary wobbles the 15th digit, which can flip a
+    # ROUND at quantized-grid values).
     from pyspark.sql import functions as F
     df = _sql_points(spark, POINTS_CTE, "points")
-    df = apply_transform(df, _HG, "lon", "lat", out_cols=("lon2", "lat2"))
-    return df.select("pid", F.round("lon2", 7).alias("lon_out"),
-                     F.round("lat2", 7).alias("lat_out"))
+
+    @F.pandas_udf("struct<lon_out:double, lat_out:double>")
+    def shift(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        g = gs.get_grid("synthetic_world")
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        dlon_as, dlat_as, _ = g.interp(lo, la)
+        return pd.DataFrame({"lon_out": lo + dlon_as / 3600.0,
+                             "lat_out": la + dlat_as / 3600.0})
+
+    df = df.withColumn("_s", shift("lon", "lat"))
+    return df.select("pid", F.col("_s.lon_out").alias("lon_out"),
+                     F.col("_s.lat_out").alias("lat_out"))
 
 
 @q("hgridshift_roundtrip", f"""
@@ -1007,22 +1026,27 @@ def q_hgridshift_roundtrip(spark, sf_dir):
 
 @q("vgridshift_fwd", f"""
 WITH {POINTS_CTE}, {_GRID_CELL_CTE}
-SELECT pid, ROUND(h + {_bilinear_sql(2)}, 7) AS z_out
+SELECT pid, h + {_bilinear_sql(2)} AS z_out
 FROM gcells
 """)
 def q_vgridshift_fwd(spark, sf_dir):
     from pyspark.sql import functions as F
     df = _sql_points(spark, POINTS_CTE, "points")
-    df = apply_transform(df, _VG, "lon", "lat", z_col="h",
-                         out_cols=("lon2", "lat2", "z2"))
-    return df.select("pid", F.round("z2", 7).alias("z_out"))
+
+    @F.pandas_udf("double")
+    def zshift(lon: pd.Series, lat: pd.Series, h: pd.Series) -> pd.Series:
+        g = gs.get_grid("synthetic_world")
+        _, _, dz = g.interp(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+        return pd.Series(h.to_numpy(np.float64) + dz)
+
+    return df.select("pid", zshift("lon", "lat", "h").alias("z_out"))
 
 
 @q("raster_join_shift", f"""
 WITH {POINTS_CTE}, {_GRID_CELL_CTE}
 SELECT pid,
-       ROUND(lon + {_bilinear_sql(0)} / 3600.0, 7) AS lon_out,
-       ROUND(lat + {_bilinear_sql(1)} / 3600.0, 7) AS lat_out
+       lon + {_bilinear_sql(0)} / 3600.0 AS lon_out,
+       lat + {_bilinear_sql(1)} / 3600.0 AS lat_out
 FROM (SELECT DISTINCT pid, lon, lat, c0, r0, wx, wy FROM gcells) g
 """)
 def q_raster_join_shift(spark, sf_dir):
@@ -1042,19 +1066,115 @@ def q_raster_join_shift(spark, sf_dir):
     corners = spark.sql("""
       SELECT CAST(id % 2 AS BIGINT) AS dx, CAST(id / 2 AS BIGINT) AS dy FROM RANGE(0, 4) t(id)
     """)
-    w = (F.when((F.col("dx") == 0) & (F.col("dy") == 0), (1 - F.col("wx")) * (1 - F.col("wy")))
-          .when((F.col("dx") == 1) & (F.col("dy") == 0), F.col("wx") * (1 - F.col("wy")))
-          .when((F.col("dx") == 0) & (F.col("dy") == 1), (1 - F.col("wx")) * F.col("wy"))
-          .otherwise(F.col("wx") * F.col("wy")))
+    one = F.lit(1.0)
+    # weight FACTORS applied as value * fx * fy — the exact multiplication
+    # order of the oracle's bilinear expression
+    fx = F.when(F.col("dx") == 0, one - F.col("wx")).otherwise(F.col("wx"))
+    fy = F.when(F.col("dy") == 0, one - F.col("wy")).otherwise(F.col("wy"))
+    def corner(dx, dy, col):
+        # conditional-max pivot: one value per corner, then an EXPLICIT
+        # v00 + v10 + v01 + v11 addition order identical to the oracle's
+        # bilinear expression (a shuffle-order-dependent SUM would wobble
+        # the last ulp and flip rounding at quantized-grid values)
+        return F.max(F.when((F.col("dx") == dx) & (F.col("dy") == dy),
+                            F.col(col) * F.col("fx") * F.col("fy")))
+
     joined = (pts.crossJoin(F.broadcast(corners))
                  .withColumn("grow", F.col("r0") + F.col("dy"))
                  .withColumn("gcol", F.col("c0") + F.col("dx"))
-                 .withColumn("w", w)
+                 .withColumn("fx", fx)
+                 .withColumn("fy", fy)
                  .join(F.broadcast(grid), on=["grow", "gcol"])
                  .groupBy("pid", "lon", "lat")
-                 .agg(F.sum(F.col("w") * F.col("dlon_as")).alias("dlon"),
-                      F.sum(F.col("w") * F.col("dlat_as")).alias("dlat")))
+                 .agg(corner(0, 0, "dlon_as").alias("a00"),
+                      corner(1, 0, "dlon_as").alias("a10"),
+                      corner(0, 1, "dlon_as").alias("a01"),
+                      corner(1, 1, "dlon_as").alias("a11"),
+                      corner(0, 0, "dlat_as").alias("b00"),
+                      corner(1, 0, "dlat_as").alias("b10"),
+                      corner(0, 1, "dlat_as").alias("b01"),
+                      corner(1, 1, "dlat_as").alias("b11")))
+    dlon = F.col("a00") + F.col("a10") + F.col("a01") + F.col("a11")
+    dlat = F.col("b00") + F.col("b10") + F.col("b01") + F.col("b11")
     return joined.select(
         "pid",
-        F.round(F.col("lon") + F.col("dlon") / 3600.0, 7).alias("lon_out"),
-        F.round(F.col("lat") + F.col("dlat") / 3600.0, 7).alias("lat_out"))
+        (F.col("lon") + dlon / 3600.0).alias("lon_out"),
+        (F.col("lat") + dlat / 3600.0).alias("lat_out"))
+
+
+# ===========================================================================
+# Training-data text ops (MinHash LSH, SimHash, fingerprints, lang-id)
+# ===========================================================================
+
+from . import textops  # noqa: E402
+
+
+@q("minhash_lsh_pairs", textops.minhash_lsh_sql("duck"))
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return spark.sql(textops.minhash_lsh_sql("spark"))
+
+
+@q("simhash_48", textops.simhash_sql("duck"))
+def q_simhash(spark, sf_dir):
+    return spark.sql(textops.simhash_sql("spark"))
+
+
+@q("simhash_dup_pairs", textops.simhash_pairs_sql("duck"))
+def q_simhash_pairs(spark, sf_dir):
+    return spark.sql(textops.simhash_pairs_sql("spark"))
+
+
+@q("doc_fingerprint", textops.fingerprint_sql("duck"))
+def q_doc_fingerprint(spark, sf_dir):
+    return spark.sql(textops.fingerprint_sql("spark"))
+
+
+@q("lang_id", textops.lang_id_sql())
+def q_lang_id(spark, sf_dir):
+    return spark.sql(textops.lang_id_sql())
+
+
+# --- embedding near-dup (cosine >= threshold pairs) --------------------------
+
+@q("embedding_near_dup", """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  -- near-dup variants: nudge one deterministic pattern onto the vector
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(v, x -> x * 1.01 + 0.003) AS v
+  FROM base WHERE vec_id % 10 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         list_cosine_similarity(a.v, b.v) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, ROUND(sim, 6) AS sim
+FROM pairs WHERE sim >= 0.8
+""")
+def q_embedding_near_dup(spark, sf_dir):
+    from pyspark.sql import functions as F
+    base = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    var = (base.filter(F.col("vec_id") % 10 == 0)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform("v", lambda x: x * 1.01 + 0.003).alias("v")))
+    e = base.unionByName(var)
+    e = e.withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
+    # self-join; small side broadcast — at scale this becomes LSH-bucketed
+    b = (e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+                  F.col("norm").alias("norm2")))
+    pairs = e.join(F.broadcast(b), F.col("vec_id") < F.col("id2"))
+    dot = F.aggregate(F.zip_with("v", "v2", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    pairs = pairs.select(F.col("vec_id").alias("id1"), "id2",
+                         (dot / (F.col("norm") * F.col("norm2"))).alias("sim"))
+    return (pairs.filter(F.col("sim") >= 0.8)
+                 .select("id1", "id2", F.round("sim", 6).alias("sim")))

@@ -1,0 +1,210 @@
+"""Training-data text operators: dedup sketches over the documents table.
+
+Large-scale training-data pipelines need near-duplicate detection and text
+quality signals as first-class relational operators. Everything here is
+expressed as joins + aggregations (the shape that scales on a 1000-executor
+cluster: shingle explode -> hash -> band bucket -> equi-join -> verify),
+with NO Python in the hot path. Hash primitive is md5 (identical across
+engines), so each operator carries an exact DuckDB oracle: the same logical
+SQL is rendered for Spark and DuckDB with a tiny dialect table
+(split/posexplode vs string_split/unnest, xor spelling).
+
+Operators:
+- minhash_lsh_pairs: word-3-gram shingles -> k=16 MinHash (min of salted
+  md5 strings) -> 4x4 banded LSH buckets -> candidate pairs -> exact
+  Jaccard verification (>= 0.5).
+- simhash + simhash_dup_pairs: 48-bit SimHash from per-nibble md5 bits
+  (48 stays inside exact-double integer range so both engines agree
+  bit-for-bit), hamming <= 6 candidate pairs.
+- doc_fingerprint: bottom-5 sketch (5 smallest salted shingle hashes) --
+  winnowing-style document signature.
+- lang_id: stopword-marker scoring (en/de/fr/es) with deterministic
+  argmax.
+
+Scale notes: shingle explode multiplies rows ~50x but is map-side only;
+the LSH band join is an equi-join on (band, band_key) whose fanout is the
+duplicate-cluster size (AQE handles hot buckets); exact-verify joins touch
+only candidate pairs, not the full cross product.
+"""
+
+from __future__ import annotations
+
+
+# dup_docs: originals + exact copies (%7) + near-dup variants (%5, tail
+# appended => high-but-<1 Jaccard)
+DUP_DOCS_CTE = """
+dup_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         text || ' common appended tail marker words' AS text
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+# engine dialect: words-with-index extraction from dup_docs
+WORDS_SPARK = """
+words AS (
+  SELECT doc_id, pos AS idx, col AS w
+  FROM dup_docs LATERAL VIEW posexplode(split(text, ' ')) AS pos, col
+)
+"""
+WORDS_DUCK = """
+words AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS idx,
+         unnest(string_split(text, ' ')) AS w
+  FROM dup_docs
+)
+"""
+
+SHINGLES_CTE = """
+shingles AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+  FROM words a
+  JOIN words b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+  JOIN words c ON c.doc_id = a.doc_id AND c.idx = a.idx + 2
+),
+sh_sets AS (SELECT DISTINCT doc_id, sh FROM shingles)
+"""
+
+_PERMS = "(VALUES " + ",".join(f"({i})" for i in range(16)) + ") AS perms(p)"
+
+
+def minhash_lsh_sql(dialect: str) -> str:
+    """Full MinHash->LSH->verify pipeline; dialect in {spark, duck}."""
+    words = WORDS_SPARK if dialect == "spark" else WORDS_DUCK
+    band_key = " || ".join(
+        f"MAX(CASE WHEN p % 4 = {r} THEN mh END)" for r in range(4))
+    return f"""
+WITH {DUP_DOCS_CTE}, {words}, {SHINGLES_CTE},
+minhash AS (
+  SELECT doc_id, p, MIN(md5(CAST(p AS STRING) || '|' || sh)) AS mh
+  FROM sh_sets CROSS JOIN {_PERMS}
+  GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(p / 4.0) AS INT) AS band, {band_key} AS bkey
+  FROM minhash
+  GROUP BY doc_id, CAST(FLOOR(p / 4.0) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_sets GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh_sets s1 ON s1.doc_id = c.id1
+  JOIN sh_sets s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
+  GROUP BY c.id1, c.id2
+)
+SELECT i.id1, i.id2,
+       ROUND(CAST(i.ni AS DOUBLE) / (n1.n + n2.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN sizes n1 ON n1.doc_id = i.id1
+JOIN sizes n2 ON n2.doc_id = i.id2
+WHERE CAST(i.ni AS DOUBLE) / (n1.n + n2.n - i.ni) >= 0.5
+"""
+
+
+# --- SimHash (48-bit, per-nibble md5 bits; exact in double arithmetic) ------
+
+def _nibble(hexpos: int) -> str:
+    """0-based value of hex digit at 1-based position hexpos of md5(w)."""
+    return (f"(CASE WHEN instr('0123456789abcdef', substr(md5(w), {hexpos}, 1)) > 0 "
+            f"THEN instr('0123456789abcdef', substr(md5(w), {hexpos}, 1)) - 1 ELSE 0 END)")
+
+
+def simhash_sql(dialect: str) -> str:
+    words = WORDS_SPARK if dialect == "spark" else WORDS_DUCK
+    # bit j lives in nibble j/4 (hex position j/4 + 1), bit j%4 of it
+    bit_sums = []
+    combine = []
+    for j in range(48):
+        nib = _nibble(j // 4 + 1)
+        bit = f"(CAST(FLOOR({nib} / {2 ** (j % 4)}.0) AS BIGINT) % 2)"
+        bit_sums.append(f"SUM(2 * {bit} - 1) AS s{j}")
+        combine.append(f"(CASE WHEN s{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)")
+    return f"""
+WITH {DUP_DOCS_CTE}, {words},
+bitsums AS (
+  SELECT doc_id, {", ".join(bit_sums)}
+  FROM words
+  GROUP BY doc_id
+)
+SELECT doc_id, {" + ".join(combine)} AS simhash
+FROM bitsums
+"""
+
+
+def simhash_pairs_sql(dialect: str) -> str:
+    base = simhash_sql(dialect)
+    xor = ("(a.simhash ^ b.simhash)" if dialect == "spark"
+           else "xor(a.simhash, b.simhash)")
+    return f"""
+WITH sh AS ({base})
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count({xor}) AS INT) AS hamming
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id AND bit_count({xor}) <= 6
+"""
+
+
+def fingerprint_sql(dialect: str) -> str:
+    """Bottom-5 sketch: the 5 smallest salted shingle hashes per doc."""
+    words = WORDS_SPARK if dialect == "spark" else WORDS_DUCK
+    return f"""
+WITH {DUP_DOCS_CTE}, {words}, {SHINGLES_CTE},
+ranked AS (
+  SELECT doc_id, md5(sh) AS h,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(sh)) AS rk
+  FROM sh_sets
+)
+SELECT doc_id, rk, h
+FROM ranked WHERE rk <= 5
+"""
+
+
+# --- language-ID heuristic (shared text: portable string functions only) ----
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "with", "that"],
+    "de": ["der", "und", "nicht", "das"],
+    "fr": ["les", "est", "dans", "pour"],
+    "es": ["los", "las", "para", "pero"],
+}
+
+
+def lang_id_sql() -> str:
+    """Marker-hit scoring; deterministic argmax by (score desc, lang asc).
+    Runs unchanged on both engines."""
+    scores = []
+    for lang, words in _LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(padded) - length(replace(padded, ' {w} ', ''))) / {len(w) + 2}"
+            for w in words)
+        scores.append(f"({terms}) AS score_{lang}")
+    langs = list(_LANG_MARKERS)
+    # argmax via nested CASE (first lang whose score >= all others)
+    conds = []
+    for lg in langs:
+        geq = " AND ".join(f"score_{lg} >= score_{o}" for o in langs if o != lg)
+        conds.append(f"WHEN {geq} THEN '{lg}'")
+    best = "CASE " + " ".join(conds) + " ELSE 'unk' END"
+    return f"""
+WITH padded_docs AS (
+  SELECT doc_id, ' ' || text || ' ' AS padded FROM documents
+),
+scored AS (
+  SELECT doc_id, {", ".join(scores)}
+  FROM padded_docs
+)
+SELECT doc_id, {best} AS lang_pred,
+       CAST(score_en AS BIGINT) AS n_en_markers
+FROM scored
+"""
