@@ -192,7 +192,10 @@ def adjlon(lam: np.ndarray) -> np.ndarray:
     """Wrap longitude into (-pi, pi] (reference src/adjlon.cpp:7)."""
     lam = np.asarray(lam, dtype=np.float64)
     out = lam - TWO_PI * np.floor((lam + np.pi) / TWO_PI)
-    # values exactly at -pi wrap to +pi? reference keeps |lam| <= pi; leave.
+    # the reference's while-loop only wraps when |lam| is STRICTLY > pi, so
+    # +pi stays +pi (adjlon.cpp:13-20); the floor formula maps +pi -> -pi,
+    # so restore the sign for inputs that sat exactly on an odd multiple
+    out = np.where((out == -np.pi) & (lam > 0), np.pi, out)
     return out
 
 
@@ -291,6 +294,10 @@ def authalic_phi1(qs: np.ndarray, e: float, one_es: float) -> np.ndarray:
     phi = aasin(0.5 * qs)
     if e < 1.0e-7:
         return phi
+    # |q| at (or ulp-beyond) the polar value: Newton's cos(phi) division
+    # degenerates; the answer is exactly the pole
+    qp = float(qsfn(np.float64(1.0), e, 1.0 - e * e))
+    at_pole = np.abs(qs) >= qp * (1.0 - 1e-13)
     converged = np.zeros(phi.shape, dtype=bool)
     for _ in range(15):
         sinpi = np.sin(phi)
@@ -303,9 +310,10 @@ def authalic_phi1(qs: np.ndarray, e: float, one_es: float) -> np.ndarray:
                        + 0.5 / e * np.log((1.0 - con) / (1.0 + con))))
         phi = np.where(converged, phi, phi + dphi)
         converged = converged | (np.abs(dphi) <= 1.0e-10)
-        if converged.all():
+        if (converged | at_pole).all():
             break
-    return np.where(converged, phi, np.nan)
+    out = np.where(converged, phi, np.nan)
+    return np.where(at_pole, np.copysign(HALF_PI, qs), out)
 
 
 def clenshaw_real(coefs: np.ndarray, arg: np.ndarray) -> np.ndarray:
@@ -371,3 +379,65 @@ def lp_dist_m(ell: Ellipsoid, lam1, phi1, lam2, phi2_) -> np.ndarray:
     dlam = adjlon(np.asarray(lam2) - np.asarray(lam1))
     dphi = np.asarray(phi2_) - np.asarray(phi1)
     return np.hypot(m_rad * dphi, n_rad * np.cos(phi_m) * dlam)
+
+
+# ---------------------------------------------------------------------------
+# meridional arc (reference src/mlfn.cpp: 6th-order expansion in the third
+# flattening n, Karney arXiv:2212.05818 Eqs. A5/A6)
+# ---------------------------------------------------------------------------
+
+_MLFN_RAD = (1.0, 1.0 / 4, 1.0 / 64, 1.0 / 256)
+_MLFN_MU_PHI = (
+    (-3.0 / 2, 9.0 / 16, -3.0 / 32), (15.0 / 16, -15.0 / 32, 135.0 / 2048),
+    (-35.0 / 48, 105.0 / 256), (315.0 / 512, -189.0 / 512),
+    (-693.0 / 1280,), (1001.0 / 2048,),
+)
+_MLFN_PHI_MU = (
+    (3.0 / 2, -27.0 / 32, 269.0 / 512), (21.0 / 16, -55.0 / 32, 6759.0 / 4096),
+    (151.0 / 96, -417.0 / 128), (1097.0 / 512, -15543.0 / 2560),
+    (8011.0 / 2560,), (293393.0 / 61440,),
+)
+
+
+def enfn(n: float):
+    """Precompute the meridional-arc Fourier coefficients for third
+    flattening n. Returns (rad_factor, mu_phi[6], phi_mu[6])."""
+    n2 = n * n
+
+    def polyval(coefs):
+        y = 0.0
+        for c in reversed(coefs):
+            y = y * n2 + c
+        return y
+
+    rad = polyval(_MLFN_RAD) / (1.0 + n)
+    d = n
+    mu_phi, phi_mu = [], []
+    for l in range(6):
+        mu_phi.append(d * polyval(_MLFN_MU_PHI[l]))
+        phi_mu.append(d * polyval(_MLFN_PHI_MU[l]))
+        d *= n
+    return rad, tuple(mu_phi), tuple(phi_mu)
+
+
+def _clenshaw_sin2k(s, c, coefs):
+    """sum coefs[k] * sin(2(k+1) z) given sin z, cos z (mlfn.cpp clenshaw)."""
+    X = 2.0 * (c - s) * (c + s)
+    u0 = np.zeros_like(np.asarray(s, dtype=np.float64))
+    u1 = np.zeros_like(u0)
+    for ck in reversed(coefs):
+        u0, u1 = X * u0 - u1 + ck, u0
+    return 2.0 * s * c * u0
+
+
+def mlfn(phi, sphi, cphi, en):
+    """Meridional distance (in units of a) — reference pj_mlfn."""
+    rad, mu_phi, _ = en
+    return rad * (phi + _clenshaw_sin2k(sphi, cphi, mu_phi))
+
+
+def inv_mlfn(mu, en):
+    """Inverse meridional distance — reference pj_inv_mlfn."""
+    rad, _, phi_mu = en
+    mu = mu / rad
+    return mu + _clenshaw_sin2k(np.sin(mu), np.cos(mu), phi_mu)

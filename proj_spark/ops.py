@@ -445,3 +445,36 @@ def create_operator(params: dict):
     if name not in _REGISTRY:
         raise KeyError(f"unsupported operator: +proj={name}")
     return _REGISTRY[name](params, name)
+
+
+def generic_inverse_2d(op, x, y, lam0, phi0, tol=1e-12, n_iter=12,
+                       max_step=0.3):
+    """Vectorized 2D Newton inverse on an operator's raw ``_fwd`` kernel
+    with numerically-differenced Jacobian (reference
+    src/generic_inverse.cpp:44-120 pj_generic_inverse_2d): refines an
+    initial (lam, phi) guess until fwd(lp) reproduces (x, y); steps clamped
+    to ``max_step`` rad, lam/phi clamped to their domains."""
+    lam = np.clip(np.asarray(lam0, dtype=np.float64), -np.pi, np.pi)
+    phi = np.clip(np.asarray(phi0, dtype=np.float64), -HALF_PI, HALF_PI)
+    z = np.zeros_like(lam)
+    t = np.full_like(lam, np.nan)
+    for _ in range(n_iter):
+        fx, fy, _, _ = op._fwd(lam, phi, z, t)
+        dX = fx - x
+        dY = fy - y
+        dlam_h = np.where(lam > 0, -1e-6, 1e-6)
+        fx1, fy1, _, _ = op._fwd(lam + dlam_h, phi, z, t)
+        dXdl = (fx1 - fx) / dlam_h
+        dYdl = (fy1 - fy) / dlam_h
+        dphi_h = np.where(phi > 0, -1e-6, 1e-6)
+        fx2, fy2, _, _ = op._fwd(lam, phi + dphi_h, z, t)
+        dXdp = (fx2 - fx) / dphi_h
+        dYdp = (fy2 - fy) / dphi_h
+        det = dXdl * dYdp - dXdp * dYdl
+        det = np.where(det == 0, np.nan, det)
+        step_l = np.clip((dX * dYdp - dY * dXdp) / det, -max_step, max_step)
+        step_p = np.clip((dY * dXdl - dX * dYdl) / det, -max_step, max_step)
+        done = (np.abs(dX) < tol) & (np.abs(dY) < tol)
+        lam = np.where(done, lam, np.clip(lam - step_l, -np.pi, np.pi))
+        phi = np.where(done, phi, np.clip(phi - step_p, -HALF_PI, HALF_PI))
+    return lam, phi

@@ -61,8 +61,11 @@ pages AS (
 
 # extraction: LIKE pre-filter + regex group pull (reference analogue: the
 # scan-side coordinate extraction operator; regex kept backslash-free so the
-# same literal parses identically in Spark SQL and DuckDB)
-EXTRACT_CTE = PAGES_CTE + """,
+# same literal parses identically in Spark SQL and DuckDB).
+# EXTRACT_BODY reads from whatever relation is named `pages` — the inline
+# synthesis CTE (EXTRACT_CTE) or a materialized pages table
+# (extract_from_table_cte).
+EXTRACT_BODY = """
 extracted AS (
   SELECT url, lang, warc_epoch,
          CAST(CASE
@@ -85,6 +88,23 @@ extracted AS (
 )
 """
 
+EXTRACT_CTE = PAGES_CTE + "," + EXTRACT_BODY
+
+
+def extract_from_table_cte(pages_table: str) -> str:
+    """EXTRACT over a materialized pages table instead of the inline
+    synthesis CTE."""
+    return f"pages AS (SELECT * FROM {pages_table})," + EXTRACT_BODY
+
+
+def materialize_pages(spark, sf_dir: str, out_dir: str, scale: int = 1,
+                      view_name: str = "pages_tbl"):
+    """Write the pages fixture to parquet once (input generation is not
+    part of any measured pipeline) and register it as ``view_name``."""
+    build_pages(spark, sf_dir, scale=scale).write.mode("overwrite").parquet(out_dir)
+    spark.read.parquet(out_dir).createOrReplaceTempView(view_name)
+    return spark.table(view_name)
+
 
 def build_pages(spark, sf_dir: str, scale: int = 1):
     """Materialize the pages fixture as a DataFrame. ``scale`` > 1 replicates
@@ -92,11 +112,19 @@ def build_pages(spark, sf_dir: str, scale: int = 1):
     from .querylib import register_views
     register_views(spark, sf_dir)
     if scale > 1:
+        # read the parquet directly (a view referencing `documents` would be
+        # recursive once we replace the view name). Parallelism comes from
+        # making RANGE(scale) the streaming side (Range splits across
+        # defaultParallelism natively) with the small doc table broadcast —
+        # no shuffle, no single-task explode serializing the fixture (a
+        # real pages table arrives in many files)
+        parts = min(scale, spark.sparkContext.defaultParallelism * 2)
         spark.sql(f"""
           CREATE OR REPLACE TEMP VIEW documents AS
-          SELECT d.doc_id * {scale} + r.id AS doc_id,
+          SELECT /*+ BROADCAST(d) */
+                 d.doc_id * {scale} + r.id AS doc_id,
                  d.text, d.lang, d.source, d.n_chars
-          FROM (SELECT * FROM documents) d,
-               (SELECT explode(sequence(0, {scale - 1})) AS id) r
+          FROM RANGE(0, {scale}, 1, {parts}) r
+          JOIN parquet.`{sf_dir}/documents.parquet` d
         """)
     return spark.sql(f"WITH {PAGES_CTE} SELECT * FROM pages")

@@ -14,7 +14,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "proj_spark", cpus: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
@@ -32,4 +33,6 @@ def get_spark(app_name: str = "proj_spark", cpus: int | None = None,
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

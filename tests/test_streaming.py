@@ -1,0 +1,86 @@
+"""Streaming hourly rollup == batch result; watermark drops late rows."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from proj_spark import streaming
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from proj_spark.session import get_spark
+    s = get_spark("test_streaming", cpus=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "events")
+    # split the batch table into several files => several micro-batches
+    (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .repartition(4).write.mode("overwrite").parquet(src))
+    for extra in os.listdir(src):
+        if extra.startswith("_"):
+            os.remove(os.path.join(src, extra))
+
+    stream = streaming.hourly_rollup(streaming.read_event_stream(spark, src))
+    streaming.run_to_memory(stream, "rollup_complete", mode="complete")
+    got = spark.table("rollup_complete")
+
+    batch = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value"))
+             .select(F.col("w.start").alias("hour_start"), "event_type",
+                     "n_events", "sum_value"))
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_watermark_closed_windows_are_final(spark, tmp_path):
+    """Append-mode watermark guarantee: once the watermark passes a window
+    and it is emitted, a later-arriving row for that window cannot re-emit
+    or modify it (exactly-once window finalization)."""
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+
+    def put(i, rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string, value double, payload string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+         .select("event_id", "ts", "user_id", "event_type", "value", "payload")
+        d = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(d)
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(flat, f"{i:03d}.parquet")
+                shutil.copy(os.path.join(d, fn), dst)
+                os.utime(dst, (1700000000 + i * 3600,) * 2)
+
+    put(0, [(1, "2024-01-01 10:15:00", 1, "click", 1.0, ""),
+            (2, "2024-01-01 10:45:00", 2, "click", 2.0, "")])
+    # advances event time to 14:00; the 12:00 watermark takes effect (and
+    # closes the 10:00 window) one micro-batch later
+    put(1, [(3, "2024-01-01 14:00:00", 3, "view", 7.0, "")])
+    put(2, [(6, "2024-01-01 14:30:00", 6, "view", 1.0, "")])
+    # a 10:30 straggler AFTER the 10:00 window was finalized
+    put(3, [(4, "2024-01-01 10:30:00", 4, "click", 100.0, "")])
+    # push the clock so any (incorrectly) resurrected window would flush
+    put(4, [(5, "2024-01-01 20:00:00", 5, "view", 9.0, "")])
+
+    stream = streaming.hourly_rollup(
+        streaming.read_event_stream(spark, flat), watermark="2 hours")
+    streaming.run_to_memory(stream, "rollup_append", mode="append")
+    rows = [(str(r.hour_start), r.event_type, r.n_events, r.sum_value)
+            for r in spark.table("rollup_append").collect()]
+    ten = [r for r in rows if r[0] == "2024-01-01 10:00:00"]
+    # exactly one finalized row for the 10:00 window, containing only the
+    # two pre-watermark events — the straggler neither re-emits nor mutates
+    assert ten == [("2024-01-01 10:00:00", "click", 2, 3.0)], rows

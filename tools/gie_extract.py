@@ -178,6 +178,11 @@ def filter_supported(records: list[dict]) -> tuple[list[dict], dict]:
         if unsup:
             skipped[unsup[0]] = skipped.get(unsup[0], 0) + 1
             continue
+        if "+grids=" in r["op_def"]:
+            # reference grid FILES (gsb/gtx/tif) aren't loadable here; the
+            # engine's grid registry serves synthetic grids only
+            skipped["param:grids"] = skipped.get("param:grids", 0) + 1
+            continue
         bad = _param_keys(r["op_def"]) & UNSUPPORTED_PARAMS
         if bad:
             skipped[f"param:{sorted(bad)[0]}"] = skipped.get(f"param:{sorted(bad)[0]}", 0) + 1
