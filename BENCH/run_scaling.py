@@ -141,22 +141,23 @@ def _run_pipeline(spark, joins, apply_transform, create, F):
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
-def _burn_capacity(n_procs: int, secs: float = 3.0) -> float:
+def _burn_child(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 3.0:
+        x += 1
+    return x
+
+
+def _burn_capacity(n_procs: int) -> float:
     """Host-capacity control: embarrassingly-parallel pure-Python loops.
     Measures what the (virtualized, noisy) host can deliver at this
     parallelism for ANY workload — the ceiling against which the engine's
     scaling is judged."""
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < secs:
-            x += 1
-        return x
-
     with mp.Pool(n_procs) as p:
-        return float(sum(p.map(burn, range(n_procs))))
+        return float(sum(p.map(_burn_child, range(n_procs))))
 
 
 def orchestrate():
