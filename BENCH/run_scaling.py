@@ -58,18 +58,25 @@ def run_worker(cpus: int) -> dict:
     # engine's job starts at a pages table on storage, like a real crawl
     warm_dir = os.path.join(tmp, "warm")
     full_dir = os.path.join(tmp, "full")
-    materialize_pages(spark, SF_DIR, warm_dir, scale=1, view_name="pages_tbl")
+    # warm-up fixture at FULL task parallelism: the pool of Python UDF
+    # workers (one per concurrent task) forks and imports numpy/pandas on
+    # first use; warming with a 1-partition table leaves the pool cold and
+    # the first big run pays a concurrent fork+import storm that grows
+    # with the worker count
+    materialize_pages(spark, SF_DIR, warm_dir, scale=cpus * 2,
+                      view_name="pages_tbl")
 
     def pipeline():
         _run_pipeline(spark, joins, apply_transform, create, F)
 
-    # warm-up: JIT/codegen compile, Python UDF workers fork, broadcasts
-    # initialize — we measure steady-state throughput (what a long-running
-    # cluster job sees), not JVM cold start
+    # warm-up: JIT/codegen compile, full Python worker pool forks,
+    # broadcasts initialize — we measure steady-state throughput (what a
+    # long-running cluster job sees), not JVM cold start
     pipeline()
 
     materialize_pages(spark, SF_DIR, full_dir, scale=SCALE, view_name="pages_tbl")
     n_docs = spark.table("pages_tbl").count()
+    pipeline()  # first full-scale pass: new codegen for the bigger plan
 
     t0 = time.perf_counter()
     pipeline()
