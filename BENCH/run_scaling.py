@@ -34,8 +34,9 @@ import numpy as np
 import pandas as pd
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "120"))  # pages amplification
+SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "2400"))  # pages amplification
 LEVELS = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(","))
+WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "4"))
 
 
 def run_worker(cpus: int) -> dict:
@@ -49,41 +50,41 @@ def run_worker(cpus: int) -> dict:
     from pyspark.sql import functions as F
 
     spark = get_spark("scaling_bench", cpus=cpus, shuffle_partitions=cpus * 2,
-                      extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)})
+                      extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+                                  "spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     querylib.register_views(spark, SF_DIR)
 
     tmp = tempfile.mkdtemp(prefix="pages_bench_")
     # input materialization is NOT part of the measured pipeline: the
     # engine's job starts at a pages table on storage, like a real crawl
-    warm_dir = os.path.join(tmp, "warm")
     full_dir = os.path.join(tmp, "full")
-    # warm-up fixture at FULL task parallelism: the pool of Python UDF
-    # workers (one per concurrent task) forks and imports numpy/pandas on
-    # first use; warming with a 1-partition table leaves the pool cold and
-    # the first big run pays a concurrent fork+import storm that grows
-    # with the worker count
-    materialize_pages(spark, SF_DIR, warm_dir, scale=cpus * 2,
-                      view_name="pages_tbl")
+    materialize_pages(spark, SF_DIR, full_dir, scale=SCALE, view_name="pages_tbl")
+    n_docs = spark.table("pages_tbl").count()
 
     def pipeline():
         _run_pipeline(spark, joins, apply_transform, create, F)
 
-    # warm-up: JIT/codegen compile, full Python worker pool forks,
-    # broadcasts initialize — we measure steady-state throughput (what a
-    # long-running cluster job sees), not JVM cold start
-    pipeline()
+    # warm-up AT FULL SCALE until steady state: the first runs pay JVM JIT
+    # (C2 compiles the codegen'd regex/agg loops over several invocations),
+    # Python-UDF worker pool forks + numpy imports (one worker per
+    # concurrent task — the storm grows with the worker count), and
+    # broadcast initialization. A 100 TB production job runs for hours at
+    # steady state; cold-start seconds are not the quantity the north rule
+    # scales, so we measure steady-state throughput.
+    for _ in range(WARMUPS):
+        pipeline()
 
-    materialize_pages(spark, SF_DIR, full_dir, scale=SCALE, view_name="pages_tbl")
-    n_docs = spark.table("pages_tbl").count()
-    pipeline()  # first full-scale pass: new codegen for the bigger plan
-
-    t0 = time.perf_counter()
-    pipeline()
-    wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        pipeline()
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)  # host is a noisy shared VM: slowdowns are one-sided
     spark.stop()
     shutil_rmtree(tmp)
     return {"cpus": cpus, "n_docs": n_docs, "wall_s": round(wall, 2),
+            "walls": [round(w, 2) for w in walls],
             "docs_per_sec": round(n_docs / wall)}
 
 
@@ -92,17 +93,14 @@ def shutil_rmtree(p):
     shutil.rmtree(p, ignore_errors=True)
 
 
-def _run_pipeline(spark, joins, apply_transform, create, F):
-    from proj_spark.pagesgen import extract_from_table_cte
-    EXTRACT_CTE = extract_from_table_cte("pages_tbl")
+_UDF_CACHE: dict = {}
 
-    # 1. extract -> kernel transforms (fused pandas-UDF stages: webmerc +
-    # Krueger UTM + Karney geodesic distance-to-reference) -> s2 -> tiles
-    ext = spark.sql(f"WITH {EXTRACT_CTE} SELECT url, lat, lon FROM extracted "
-                    "WHERE lat IS NOT NULL AND ABS(lat) <= 85.06")
-    ext = apply_transform(ext, create("+proj=webmerc +ellps=WGS84"), "lon", "lat")
-    ext = apply_transform(ext, create("+proj=utm +zone=32 +ellps=GRS80"),
-                          "lon", "lat", out_cols=("ux", "uy"))
+
+def _get_udfs(F):
+    """Define the pandas UDFs once per process — a steady-state job defines
+    its UDFs once; re-creating them per run forces fresh codegen/JIT."""
+    if _UDF_CACHE:
+        return _UDF_CACHE["dist_ref"], _UDF_CACHE["cell12"]
     from proj_spark.kernels import s2cell
     from proj_spark.kernels import geodesic as geod
     from proj_spark.kernels.core import Ellipsoid
@@ -118,12 +116,29 @@ def _run_pipeline(spark, joins, apply_transform, create, F):
             np.zeros_like(lo), np.zeros_like(la), lo, la)
         return pd.Series(s)
 
-    ext = ext.withColumn("dist_origin", dist_ref("lon", "lat"))
-
     @F.pandas_udf("long")
     def cell12(lon: pd.Series, lat: pd.Series) -> pd.Series:
         return pd.Series(s2cell.lonlat_to_cell(
             lon.to_numpy(np.float64), lat.to_numpy(np.float64), 12))
+
+    _UDF_CACHE["dist_ref"] = dist_ref
+    _UDF_CACHE["cell12"] = cell12
+    return dist_ref, cell12
+
+
+def _run_pipeline(spark, joins, apply_transform, create, F):
+    from proj_spark.pagesgen import extract_from_table_cte
+    EXTRACT_CTE = extract_from_table_cte("pages_tbl")
+    dist_ref, cell12 = _get_udfs(F)
+
+    # 1. extract -> kernel transforms (fused pandas-UDF stages: webmerc +
+    # Krueger UTM + Karney geodesic distance-to-reference) -> s2 -> tiles
+    ext = spark.sql(f"WITH {EXTRACT_CTE} SELECT url, lat, lon FROM extracted "
+                    "WHERE lat IS NOT NULL AND ABS(lat) <= 85.06")
+    ext = apply_transform(ext, create("+proj=webmerc +ellps=WGS84"), "lon", "lat")
+    ext = apply_transform(ext, create("+proj=utm +zone=32 +ellps=GRS80"),
+                          "lon", "lat", out_cols=("ux", "uy"))
+    ext = ext.withColumn("dist_origin", dist_ref("lon", "lat"))
 
     tiles = (ext.withColumn("cell", cell12("lon", "lat"))
                 .withColumn("tx", F.floor((F.col("x") + 20037508.34) / 39135.76))
@@ -170,18 +185,15 @@ def _burn_capacity(n_procs: int) -> float:
 def orchestrate():
     results = {}
     for cpus in LEVELS:
-        best = None
-        for _ in range(REPEATS):
-            out = subprocess.run(
-                [sys.executable, __file__, "--worker", str(cpus)],
-                capture_output=True, text=True, timeout=3600,
-                cwd=str(Path(__file__).resolve().parent.parent))
-            line = [ln for ln in out.stdout.strip().splitlines()
-                    if ln.startswith("{")][-1]
-            r = json.loads(line)
-            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                best = r
-        results[cpus] = best
+        # one fresh JVM per level (levels can't share warmed state);
+        # steady-state repeats happen inside the worker
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", str(cpus)],
+            capture_output=True, text=True, timeout=3600,
+            cwd=str(Path(__file__).resolve().parent.parent))
+        line = [ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
     # host capacity control at the same parallelism levels (best of 3)
     cap = {c: max(_burn_capacity(c) for _ in range(REPEATS)) for c in LEVELS}
     rlo, rhi = results[LEVELS[0]], results[LEVELS[1]]
@@ -215,8 +227,12 @@ Job: pages table on storage (documents x{s['scale']}, materialized untimed)
 -> regex coordinate extraction (JVM) -> fused pandas-UDF kernels (webmerc +
 Krueger UTM + Karney geodesic distance) -> S2 L12 cells -> tile aggregation,
 plus the PIP cell-prefix spatial join; identical code and input at both
-parallelism levels, each level in a fresh JVM, best of 3 runs (the sandbox
-host is a noisy shared VM; slowdowns are one-sided). Input: `{s['sf_dir']}`.
+parallelism levels, each level in a fresh JVM. Each level warms up at full
+scale until steady state (JVM C2 JIT of the codegen'd loops, Python-UDF
+worker pool, broadcasts — a production 100 TB job runs hours at steady
+state, so steady-state throughput is the scaled quantity), then reports the
+best of {REPEATS} measured runs (the sandbox host is a noisy shared VM;
+slowdowns are one-sided). Input: `{s['sf_dir']}`.
 
 | level | docs | wall (s) | docs/sec |
 |---|---|---|---|
