@@ -18,6 +18,7 @@ import numpy as np
 
 from ..ops import Operator, register, U_RADIANS, U_CLASSIC
 from .core import (
+    DEG_TO_RAD,
     FORT_PI,
     HALF_PI,
     adjlon,
@@ -174,6 +175,28 @@ class Tmerc(Operator):
     left = U_RADIANS
     right = U_CLASSIC
 
+    def _resolve_algo(self) -> str:
+        """+approx / +algo handling (tmerc.cpp:667-705): etmerc is always
+        exact; tmerc/utm default to poder_engsager (data/proj.ini), +approx
+        or +algo=evenden_snyder select the Snyder series, +algo=auto mixes
+        with the |lam|>3deg / parabola-frontier switch (tmerc.cpp:598-615)
+        unless es>0.1, phi0!=0 or |k0-1|>0.01 (tmerc.cpp:696-702)."""
+        p = self.params
+        if self.invoked_name == "etmerc":
+            return "exact"
+        if "approx" in p:
+            return "approx"
+        algo = str(p.get("algo", "poder_engsager"))
+        if algo == "evenden_snyder":
+            return "approx"
+        if algo == "poder_engsager":
+            return "exact"
+        if algo != "auto":
+            raise ValueError("unknown value for +algo")
+        if self.ell.es > 0.1 or self.phi0 != 0 or abs(self.k0 - 1) > 0.01:
+            return "exact"
+        return "auto"
+
     def setup(self):
         if self.invoked_name == "utm":
             if self.ell.is_sphere:
@@ -196,8 +219,18 @@ class Tmerc(Operator):
             raise ValueError("etmerc requires an ellipsoid")
         self.spherical = self.ell.is_sphere
         if not self.spherical:
-            self.kc = _KrugerConstants(self.ell.n, self.k0, self.phi0)
+            self.algo = self._resolve_algo()
+            if self.algo in ("exact", "auto"):
+                self.kc = _KrugerConstants(self.ell.n, self.k0, self.phi0)
+            if self.algo in ("approx", "auto"):
+                # setup_approx (tmerc.cpp:237-252)
+                from .core import enfn, mlfn
+                self.en = enfn(self.ell.n)
+                self.ml0 = mlfn(np.float64(self.phi0), np.sin(self.phi0),
+                                np.cos(self.phi0), self.en)
+                self.esp = self.ell.es / (1.0 - self.ell.es)
         else:
+            self.algo = "approx"
             self.esp = self.k0
             self.ml0 = 0.5 * self.esp
 
@@ -256,6 +289,73 @@ class Tmerc(Operator):
         lam = ce2
         return np.where(ok, lam, np.nan), np.where(ok, phi, np.nan)
 
+    # --- approx ellipsoidal kernels, Evenden/Snyder (tmerc.cpp:71-117,
+    # 154-190): Snyder 1987 series eq. 8-9..8-17 ---
+    def _fwd_a(self, lam, phi):
+        from .core import mlfn
+        FC1, FC2, FC3 = 1.0, 0.5, 0.16666666666666666666
+        FC4, FC5 = 0.08333333333333333333, 0.05
+        FC6, FC7, FC8 = 0.03333333333333333333, 0.02380952380952380952, \
+            0.01785714285714285714
+        bad = (lam < -HALF_PI) | (lam > HALF_PI)
+        sinphi = np.sin(phi)
+        cosphi = np.cos(phi)
+        tt = np.where(np.abs(cosphi) > 1e-10, sinphi / cosphi, 0.0)
+        tt = tt * tt
+        al = cosphi * lam
+        als = al * al
+        al = al / np.sqrt(1.0 - self.ell.es * sinphi * sinphi)
+        n = self.esp * cosphi * cosphi
+        x = self.k0 * al * (
+            FC1 + FC3 * als * (1.0 - tt + n + FC5 * als * (
+                5.0 + tt * (tt - 18.0) + n * (14.0 - 58.0 * tt)
+                + FC7 * als * (61.0 + tt * (tt * (179.0 - tt) - 479.0)))))
+        y = self.k0 * (
+            mlfn(phi, sinphi, cosphi, self.en) - self.ml0
+            + sinphi * al * lam * FC2 * (
+                1.0 + FC4 * als * (
+                    5.0 - tt + n * (9.0 + 4.0 * n) + FC6 * als * (
+                        61.0 + tt * (tt - 58.0) + n * (270.0 - 330.0 * tt)
+                        + FC8 * als * (1385.0 + tt * (tt * (543.0 - tt)
+                                                      - 3111.0))))))
+        return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
+
+    def _inv_a(self, x, y):
+        from .core import inv_mlfn
+        FC1, FC2, FC3 = 1.0, 0.5, 0.16666666666666666666
+        FC4, FC5 = 0.08333333333333333333, 0.05
+        FC6, FC7, FC8 = 0.03333333333333333333, 0.02380952380952380952, \
+            0.01785714285714285714
+        es = self.ell.es
+        phi = inv_mlfn(self.ml0 + y / self.k0, self.en)
+        pole = np.abs(phi) >= HALF_PI
+        sinphi = np.sin(phi)
+        cosphi = np.cos(phi)
+        tt = np.where(np.abs(cosphi) > 1e-10, sinphi / cosphi, 0.0)
+        n = self.esp * cosphi * cosphi
+        con = 1.0 - es * sinphi * sinphi
+        d = x * np.sqrt(con) / self.k0
+        con = con * tt
+        tt = tt * tt
+        ds = d * d
+        phi_out = phi - (con * ds / (1.0 - es)) * FC2 * (
+            1.0 - ds * FC4 * (
+                5.0 + tt * (3.0 - 9.0 * n) + n * (1.0 - 4.0 * n)
+                - ds * FC6 * (
+                    61.0 + tt * (90.0 - 252.0 * n + 45.0 * tt) + 46.0 * n
+                    - ds * FC8 * (1385.0 + tt * (3633.0 + tt * (4095.0
+                                                                + 1575.0 * tt))))))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam_out = d * (
+                FC1 - ds * FC3 * (
+                    1.0 + 2.0 * tt + n - ds * FC5 * (
+                        5.0 + tt * (28.0 + 24.0 * tt + 8.0 * n) + 6.0 * n
+                        - ds * FC7 * (61.0 + tt * (662.0 + tt * (1320.0
+                                                                 + 720.0 * tt)))))) / cosphi
+        phi_out = np.where(pole, np.where(y < 0.0, -HALF_PI, HALF_PI), phi_out)
+        lam_out = np.where(pole, 0.0, lam_out)
+        return lam_out, phi_out
+
     # --- spherical closed form (Snyder 1987 eq. 8-1..8-3) ---
     def _fwd_s(self, lam, phi):
         b = np.cos(phi) * np.sin(lam)
@@ -279,15 +379,31 @@ class Tmerc(Operator):
     def _fwd(self, lam, phi, z, t):
         if self.spherical:
             x, y = self._fwd_s(lam, phi)
-        else:
+        elif self.algo == "exact":
             x, y = self._fwd_e(lam, phi)
+        elif self.algo == "approx":
+            x, y = self._fwd_a(lam, phi)
+        else:  # auto (tmerc.cpp:598-603)
+            xe, ye = self._fwd_e(lam, phi)
+            xa, ya = self._fwd_a(lam, phi)
+            far = np.abs(lam) > 3.0 * DEG_TO_RAD
+            x = np.where(far, xe, xa)
+            y = np.where(far, ye, ya)
         return x, y, z, t
 
     def _inv(self, x, y, z, t):
         if self.spherical:
             lam, phi = self._inv_s(x, y)
-        else:
+        elif self.algo == "exact":
             lam, phi = self._inv_e(x, y)
+        elif self.algo == "approx":
+            lam, phi = self._inv_a(x, y)
+        else:  # auto: parabola frontier in dimensionless xy (tmerc.cpp:605-615)
+            le, pe = self._inv_e(x, y)
+            la, pa = self._inv_a(x, y)
+            far = np.abs(x) > 0.053 - 0.022 * y * y
+            lam = np.where(far, le, la)
+            phi = np.where(far, pe, pa)
         return lam, phi, z, t
 
 

@@ -40,8 +40,8 @@ SUPPORTED_OPS: set[str] = set()
 
 # params we cannot honour yet -> drop the whole block
 UNSUPPORTED_PARAMS = {
-    "axis", "nadgrids", "geoidgrids", "approx", "algo", "init",
-    "pm", "o_proj", "guam", "lon_wrap", "geoid_crs", "omit_fwd", "omit_inv",
+    "axis", "nadgrids", "geoidgrids", "init",
+    "pm", "guam", "lon_wrap", "geoid_crs", "omit_fwd", "omit_inv",
 }
 
 _num_re = re.compile(r"[-+0-9.eE]+")
