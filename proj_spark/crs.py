@@ -16,7 +16,7 @@ from __future__ import annotations
 import re
 
 from .ops import Operator, Pipeline, PushPop, create_operator
-from .kernels import cyl, conic, cartgeo, datum, azimuthal, gridshift, pseudocyl, misc2, misc3, dgg, meta, interrupted, tail1, tail2, tail3  # noqa: F401 (registration)
+from .kernels import cyl, conic, cartgeo, datum, azimuthal, gridshift, pseudocyl, misc2, misc3, dgg, meta, interrupted, tail1, tail2, tail3, complexpoly  # noqa: F401 (registration)
 
 
 def parse_proj_params(s: str) -> list[dict]:
@@ -81,6 +81,9 @@ def _create_step(p: dict):
     direction = "inverse" if "inv" in p else "forward"
     q = {k: v for k, v in p.items() if k != "inv"}
     op = create_operator(q)
+    # dead-step elision flags (reference src/conversions/pipeline.cpp:119-120)
+    op._omit_fwd = "omit_fwd" in p
+    op._omit_inv = "omit_inv" in p
     return (op, direction)
 
 

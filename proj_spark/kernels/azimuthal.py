@@ -368,15 +368,46 @@ class Aeqd(Operator):
     right = U_CLASSIC
 
     def setup(self):
-        if "guam" in self.params:
-            raise ValueError("guam variant not supported")
+        self.guam = "guam" in self.params
         self.mode = _mode(self.phi0)
         self.sinph0 = float(np.sin(self.phi0))
         self.cosph0 = float(np.cos(self.phi0))
         if self.ell.es != 0.0:
             self.geod = geodesic.GeodSolver(self.ell)
+        if self.guam:
+            from .core import enfn, mlfn
+            self.en = enfn(self.ell.n)
+            self.M1 = float(mlfn(np.float64(self.phi0), np.sin(self.phi0),
+                                 np.cos(self.phi0), self.en))
+
+    def _guam_fwd(self, lam, phi):
+        """Guam elliptical variant (aeqd.cpp:69-83)."""
+        from .core import mlfn
+        cosphi = np.cos(phi)
+        sinphi = np.sin(phi)
+        t = 1.0 / np.sqrt(1.0 - self.ell.es * sinphi * sinphi)
+        x = lam * cosphi * t
+        y = mlfn(phi, sinphi, cosphi, self.en) - self.M1 \
+            + 0.5 * lam * lam * cosphi * sinphi * t
+        return x, y
+
+    def _guam_inv(self, x, y):
+        """Guam elliptical inverse (aeqd.cpp:189-205)."""
+        from .core import inv_mlfn
+        x2 = 0.5 * x * x
+        phi = np.full_like(x, self.phi0)
+        t = np.zeros_like(x)
+        for _ in range(3):
+            t = self.ell.e * np.sin(phi)
+            t = np.sqrt(1.0 - t * t)
+            phi = inv_mlfn(self.M1 + y - x2 * np.tan(phi) * t, self.en)
+        lam = x * t / np.cos(phi)
+        return lam, phi
 
     def _fwd(self, lam, phi, z, t):
+        if self.guam:
+            x, y = self._guam_fwd(lam, phi)
+            return x, y, z, t
         es = self.ell.es
         if es != 0.0:
             g = self.geod
@@ -411,6 +442,9 @@ class Aeqd(Operator):
         return x, y, z, t
 
     def _inv(self, x, y, z, t):
+        if self.guam:
+            lam, phi = self._guam_inv(x, y)
+            return lam, phi, z, t
         es = self.ell.es
         if es != 0.0:
             g = self.geod

@@ -42,6 +42,25 @@ U_RADIANS = "radians"
 U_DEGREES = "degrees"
 
 
+# prime meridian registry (reference src/datums.cpp:71-88)
+PRIME_MERIDIANS = {
+    "greenwich": "0",
+    "lisbon": "9d07'54.862\"W",
+    "paris": "2d20'14.025\"E",
+    "bogota": "74d04'51.3\"W",
+    "madrid": "3d41'16.58\"W",
+    "rome": "12d27'8.4\"E",
+    "bern": "7d26'22.5\"E",
+    "jakarta": "106d48'27.79\"E",
+    "ferro": "17d40'W",
+    "brussels": "4d22'4.71\"E",
+    "stockholm": "18d3'29.8\"E",
+    "athens": "23d42'58.815\"E",
+    "oslo": "10d43'22.5\"E",
+    "copenhagen": "12d34'40.35\"E",
+}
+
+
 def _ratio(v) -> float:
     """Parse '0.5' or 'a/b' ratio notation (reference pj_param 'd' with
     fractions, used by +to_meter/+vto_meter)."""
@@ -176,6 +195,12 @@ class Operator:
         self.vfr_meter = 1.0 / self.vto_meter
         self.over = "over" in params
         self.geoc = "geoc" in params
+        if "pm" in params:
+            pm = str(params["pm"])
+            pm = PRIME_MERIDIANS.get(pm, pm)
+            self.from_greenwich = parse_angle(pm) * DEG_TO_RAD
+        else:
+            self.from_greenwich = 0.0
         self._datum_shift = _build_datum_shift(params)
         self.setup()
 
@@ -214,7 +239,8 @@ class Operator:
                 if hm is not None:
                     x, y, z, t = hm.inv(x, y, z, t)
                 x, y, z, t = cl.inv(x, y, z, t)
-            x = x - self.lam0
+            # central meridian + prime meridian (reference src/fwd.cpp:108)
+            x = (x - self.from_greenwich) - self.lam0
             if not self.over:
                 x = adjlon(x)
 
@@ -269,7 +295,8 @@ class Operator:
 
         # inv_finalize: re-offset central meridian, wrap, geoc
         if self.left == U_RADIANS:
-            x = x + self.lam0
+            # reference src/inv.cpp:113
+            x = x + self.from_greenwich + self.lam0
             if not self.over:
                 x = adjlon(x)
             if self._datum_shift is not None:
@@ -353,6 +380,12 @@ class Pipeline:
             (op, ("inverse" if d == "forward" else "forward")) for op, d in reversed(self.steps)
         ]
         for op, d in steps:
+            # omit_fwd skips the step in pipeline-forward execution,
+            # omit_inv in pipeline-inverse (pipeline.cpp:166,183)
+            if direction == "forward" and getattr(op, "_omit_fwd", False):
+                continue
+            if direction == "inverse" and getattr(op, "_omit_inv", False):
+                continue
             if op.name == "push":
                 # push in fwd direction; acts as pop when pipeline inverted
                 cols = {1: x, 2: y, 3: z, 4: t}

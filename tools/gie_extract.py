@@ -41,7 +41,7 @@ SUPPORTED_OPS: set[str] = set()
 # params we cannot honour yet -> drop the whole block
 UNSUPPORTED_PARAMS = {
     "axis", "nadgrids", "geoidgrids", "init",
-    "pm", "guam", "lon_wrap", "geoid_crs", "omit_fwd", "omit_inv",
+    "lon_wrap", "geoid_crs",
 }
 
 _num_re = re.compile(r"[-+0-9.eE]+")
