@@ -123,6 +123,9 @@ def parse_angle(v) -> float:
     if isinstance(v, (int, float)):
         return float(v)
     s = str(v).strip()
+    if s and s[-1] in "Rr":
+        # radian suffix (reference src/dmstor.cpp 'r' unit)
+        return float(s[:-1]) / DEG_TO_RAD
     sign = 1.0
     if s and s[-1] in "NnEe":
         s = s[:-1]
@@ -201,6 +204,10 @@ class Operator:
             self.from_greenwich = parse_angle(pm) * DEG_TO_RAD
         else:
             self.from_greenwich = 0.0
+        if "lon_wrap" in params:
+            self.lon_wrap = parse_angle(params["lon_wrap"]) * DEG_TO_RAD
+        else:
+            self.lon_wrap = None
         self._datum_shift = _build_datum_shift(params)
         self.setup()
 
@@ -262,6 +269,9 @@ class Operator:
             z = z * self.fr_meter
         elif self.right == U_RADIANS:
             z = self.vfr_meter * (z + self.z0)
+            if self.lon_wrap is not None:
+                # +lon_wrap re-centering (reference src/fwd.cpp:162-167)
+                x = self.lon_wrap + adjlon(x - self.lon_wrap)
         mask = np.isnan(x) | np.isnan(y)
         x = np.where(mask, np.nan, x)
         y = np.where(mask, np.nan, y)

@@ -40,8 +40,7 @@ SUPPORTED_OPS: set[str] = set()
 
 # params we cannot honour yet -> drop the whole block
 UNSUPPORTED_PARAMS = {
-    "axis", "nadgrids", "geoidgrids", "init",
-    "lon_wrap", "geoid_crs",
+    "axis", "nadgrids", "geoidgrids", "init", "geoid_crs",
 }
 
 _num_re = re.compile(r"[-+0-9.eE]+")
