@@ -1,0 +1,216 @@
+"""Geodesic polygon perimeter + area — the reference's only aggregate
+(geod_polygon_addpoint/geod_polygon_compute, src/geodesic.h:124,
+src/geodesic.c:1104-1225).
+
+Perimeter is the sum of Karney inverse distances. Area uses Green's theorem
+on the ellipsoid: the surface area swept between a path and the equator is
+
+    S_path = -\oint A(phi) dlam,   A(phi) = b^2/2 (sin(phi)/(1-e^2 sin^2 phi)
+                                            + atanh(e sin(phi))/e)
+
+(A is the lune-area function with A(pi/2) = c^2, the authalic-ish constant
+of geod_init, geodesic.c:321 — total ellipsoid area 4 pi c^2). Each geodesic
+edge is integrated with fixed-order Gauss-Legendre quadrature in arc length,
+with dlam/ds = sin(alpha) / (nu cos(phi)) evaluated by the vectorized Karney
+direct solver at the quadrature nodes — deterministic, no per-row Python, no
+series beyond the existing I1/I3. Pole-encircling rings are handled by the
+longitude-winding count exactly like the reference's transit counter
+(geodesic.c:1130-1160), and the result is reduced to (-A0/2, A0/2] like
+areareduceA (geodesic.c:293).
+
+Node count 48 gives ~1e-12 relative error on continental-scale edges (the
+integrand is analytic in s); the reference's series formulation is accurate
+to ~1e-15 — both far below the 0.5 m^2 bar of the geodtest planimeter cases
+asserted in tests/test_geodesy.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kernels.core import Ellipsoid, adjlon
+from .kernels import geodesic as geod
+
+_GL_ORDER = 24
+_GL_PANELS = 16
+_gx, _gw = np.polynomial.legendre.leggauss(_GL_ORDER)
+# composite rule on [0, 1]: _GL_PANELS panels of order-_GL_ORDER GL
+_GL_T = np.concatenate([
+    (p + 0.5 * (_gx + 1.0)) / _GL_PANELS for p in range(_GL_PANELS)])
+_GL_WT = np.concatenate([0.5 * _gw / _GL_PANELS] * _GL_PANELS)
+_GL_NODES = _GL_T.size
+
+
+
+def _area_fn(ell: Ellipsoid, sinphi):
+    """Lune-area function A(phi) (see module docstring)."""
+    e, es = ell.e, ell.es
+    b2 = ell.b * ell.b
+    if es == 0.0:
+        return ell.a * ell.a * sinphi
+    return 0.5 * b2 * (sinphi / (1.0 - es * sinphi * sinphi)
+                       + np.arctanh(e * sinphi) / e)
+
+
+def ellipsoid_area(ell: Ellipsoid) -> float:
+    """Total surface area 4*pi*c^2 (geod_init c2, geodesic.c:321)."""
+    return float(4.0 * np.pi * _area_fn(ell, 1.0))
+
+
+def polygon_perimeter_area(ell: Ellipsoid, lon, lat):
+    """Closed-ring perimeter (m) and signed area (m^2, CCW positive).
+
+    ``lon``/``lat`` in RADIANS, shape (n,) — the ring is closed
+    automatically. Vectorized: one inverse solve for all edges, one direct
+    solve for all edges x quadrature nodes.
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lat = np.clip(lat, -0.5 * np.pi, 0.5 * np.pi)
+    lon2 = np.roll(lon, -1)
+    lat2 = np.roll(lat, -1)
+
+    solver = geod.solver(ell)
+    s12, azi1, _ = solver.inverse(lon, lat, lon2, lat2)
+    perimeter = float(np.sum(s12))
+
+    # quadrature nodes: (edges, nodes) flattened
+    n = lon.shape[0]
+    s_nodes = (s12[:, None] * _GL_T[None, :]).ravel()
+    lon_r = np.repeat(lon, _GL_NODES)
+    lat_r = np.repeat(lat, _GL_NODES)
+    azi_r = np.repeat(azi1, _GL_NODES)
+    _, phi_n, azi_n = solver.direct(lon_r, lat_r, azi_r, s_nodes)
+    sinphi = np.sin(phi_n)
+    cosphi = np.cos(phi_n)
+    nu = ell.a / np.sqrt(1.0 - ell.es * sinphi * sinphi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dlam_ds = np.sin(azi_n) / (nu * cosphi)
+    # recenter A about the polygon's mean latitude: the raw quadrilateral
+    # areas are ~c^2*2pi (2.5e14 m^2) and cancel catastrophically in
+    # float64; with A - A_ref the summands scale with the polygon itself
+    # (\oint A_ref dlam = A_ref * 2pi * winding exactly)
+    a_ref = float(_area_fn(ell, np.sin(np.mean(lat))))
+    integ = (_area_fn(ell, sinphi) - a_ref) * dlam_ds
+    integ = np.where(np.isfinite(integ), integ, 0.0)  # exact-pole node guard
+    edge_int = (integ.reshape(n, _GL_NODES) * _GL_WT[None, :]).sum(axis=1) \
+        * s12
+    # pole-adjacent edges concentrate their longitude swing in a spike at
+    # the path's extreme latitude that no fixed quadrature can resolve
+    # (dlam/ds ~ 1/cos(phi)); the swing the quadrature missed is exactly
+    # the difference between the edge's true endpoint dlam (inverse
+    # geodesics have |dlam| <= pi) and the quadrature's dlam estimate —
+    # book it at the extreme-latitude node's area value. For smooth edges
+    # the residual is quadrature-roundoff-small, so this is a no-op.
+    dlam_quad = (dlam_ds.reshape(n, _GL_NODES) * _GL_WT[None, :]).sum(axis=1) \
+        * s12
+    dlam = adjlon(lon2 - lon)
+    resid = dlam - dlam_quad
+    phi_grid = phi_n.reshape(n, _GL_NODES)
+    ext_idx = np.argmax(np.abs(phi_grid), axis=1)
+    phi_ext = phi_grid[np.arange(n), ext_idx]
+    # the spike's true latitude: edge extreme = endpoints or the Clairaut
+    # vertex latitude (cos beta_v = |sin alpha0|) when the vertex is
+    # interior (azimuth flips N/S between the endpoints)
+    f = 1.0 - ell.b / ell.a
+    cb1 = np.cos(np.arctan((1.0 - f) * np.tan(lat)))
+    salp0 = np.abs(np.sin(azi1) * cb1)
+    with np.errstate(divide="ignore"):
+        phi_v = np.arctan(np.sqrt(np.clip(1.0 - salp0 * salp0, 0.0, None))
+                          / np.maximum(salp0, 1e-300) / (1.0 - f))
+    ext_abs = np.maximum.reduce([np.abs(phi_ext), np.abs(lat), np.abs(lat2)])
+    interior = np.abs(phi_ext) > np.maximum(np.abs(lat), np.abs(lat2)) - 1e-9
+    ext_abs = np.where(interior, np.maximum(ext_abs, phi_v), ext_abs)
+    phi_use = np.where(phi_ext < 0, -ext_abs, ext_abs)
+    edge_int = edge_int + (_area_fn(ell, np.sin(phi_use)) - a_ref) * resid
+    oint = float(np.sum(edge_int))  # \oint (A(phi) - A_ref) dlam
+
+    # winding count from wrapped per-edge longitude steps
+    winding = int(np.round(np.sum(dlam) / (2.0 * np.pi)))
+
+    c2_4pi = ellipsoid_area(ell)
+    area = winding * 2.0 * np.pi * (c2_4pi / (4.0 * np.pi) - a_ref) - oint
+    # reduce to (-A0/2, A0/2] (areareduceA, geodesic.c:293)
+    if area > c2_4pi / 2.0:
+        area -= c2_4pi
+    elif area <= -c2_4pi / 2.0:
+        area += c2_4pi
+    return perimeter, float(area)
+
+
+def polyline_length(ell: Ellipsoid, lon, lat) -> float:
+    """Open polyline length (geod_polygon_init(polyline=1) analogue)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    solver = geod.solver(ell)
+    s12, _, _ = solver.inverse(lon[:-1], lat[:-1], lon[1:], lat[1:])
+    return float(np.sum(s12))
+
+
+def rings_perimeter_area(ell: Ellipsoid, lons, lats):
+    """Batched fixed-arity rings: ``lons``/``lats`` shape (n_rings, k)
+    in RADIANS. Returns (perimeter[n], signed_area[n]) with the same
+    semantics as :func:`polygon_perimeter_area`, fully vectorized across
+    rings (one inverse solve for all edges, one direct solve for all
+    quadrature nodes) — the engine's Spark aggregation path (pandas_udf
+    over one-ring-per-row frames, no per-row Python).
+    """
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.clip(np.asarray(lats, dtype=np.float64),
+                   -0.5 * np.pi, 0.5 * np.pi)
+    nr, k = lons.shape
+    lon1 = lons.ravel()
+    lat1 = lats.ravel()
+    lon2 = np.roll(lons, -1, axis=1).ravel()
+    lat2 = np.roll(lats, -1, axis=1).ravel()
+
+    solver = geod.solver(ell)
+    s12, azi1, _ = solver.inverse(lon1, lat1, lon2, lat2)
+    perimeter = s12.reshape(nr, k).sum(axis=1)
+
+    ne = nr * k
+    s_nodes = (s12[:, None] * _GL_T[None, :]).ravel()
+    _, phi_n, azi_n = solver.direct(np.repeat(lon1, _GL_NODES),
+                                    np.repeat(lat1, _GL_NODES),
+                                    np.repeat(azi1, _GL_NODES), s_nodes)
+    sinphi = np.sin(phi_n)
+    cosphi = np.cos(phi_n)
+    nu = ell.a / np.sqrt(1.0 - ell.es * sinphi * sinphi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dlam_ds = np.sin(azi_n) / (nu * cosphi)
+    a_ref = _area_fn(ell, np.sin(np.mean(lats, axis=1)))       # (nr,)
+    a_ref_e = np.repeat(a_ref, k)                              # (ne,)
+    integ = (_area_fn(ell, sinphi)
+             - np.repeat(a_ref_e, _GL_NODES)) * dlam_ds
+    integ = np.where(np.isfinite(integ), integ, 0.0)
+    edge_int = (integ.reshape(ne, _GL_NODES) * _GL_WT[None, :]).sum(axis=1) \
+        * s12
+    dlam_quad = (dlam_ds.reshape(ne, _GL_NODES)
+                 * _GL_WT[None, :]).sum(axis=1) * s12
+    dlam = adjlon(lon2 - lon1)
+    resid = dlam - dlam_quad
+    phi_grid = phi_n.reshape(ne, _GL_NODES)
+    ext_idx = np.argmax(np.abs(phi_grid), axis=1)
+    phi_ext = phi_grid[np.arange(ne), ext_idx]
+    f = 1.0 - ell.b / ell.a
+    cb1 = np.cos(np.arctan((1.0 - f) * np.tan(lat1)))
+    salp0 = np.abs(np.sin(azi1) * cb1)
+    with np.errstate(divide="ignore"):
+        phi_v = np.arctan(np.sqrt(np.clip(1.0 - salp0 * salp0, 0.0, None))
+                          / np.maximum(salp0, 1e-300) / (1.0 - f))
+    ext_abs = np.maximum.reduce([np.abs(phi_ext), np.abs(lat1),
+                                 np.abs(lat2)])
+    interior = np.abs(phi_ext) > np.maximum(np.abs(lat1),
+                                            np.abs(lat2)) - 1e-9
+    ext_abs = np.where(interior, np.maximum(ext_abs, phi_v), ext_abs)
+    phi_use = np.where(phi_ext < 0, -ext_abs, ext_abs)
+    edge_int = edge_int + (_area_fn(ell, np.sin(phi_use)) - a_ref_e) * resid
+
+    oint = edge_int.reshape(nr, k).sum(axis=1)
+    winding = np.round(dlam.reshape(nr, k).sum(axis=1)
+                       / (2.0 * np.pi))
+    c2_4pi = ellipsoid_area(ell)
+    area = winding * 2.0 * np.pi * (c2_4pi / (4.0 * np.pi) - a_ref) - oint
+    area = np.where(area > c2_4pi / 2.0, area - c2_4pi, area)
+    area = np.where(area <= -c2_4pi / 2.0, area + c2_4pi, area)
+    return perimeter, area

@@ -636,13 +636,9 @@ def q_ann_cosine_top5(spark, sf_dir):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    base = spark.table("embeddings").select(
+    e = spark.table("embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    var = (base.filter(F.col("vec_id") % 10 == 0)
-               .select((F.col("vec_id") + 100000).alias("vec_id"),
-                       F.transform("v", lambda x: x * 1.01 + 0.003).alias("v")))
-    e = base.unionByName(var)
     e = e.withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
     qs = (e.filter(F.col("vec_id") % 50 == 0)
@@ -1178,3 +1174,278 @@ def q_embedding_near_dup(spark, sf_dir):
                          (dot / (F.col("norm") * F.col("norm2"))).alias("sim"))
     return (pairs.filter(F.col("sim") >= 0.8)
                  .select("id1", "id2", F.round("sim", 6).alias("sim")))
+
+
+# --- geodesic polygon perimeter + area (the reference's only aggregate:
+# geod_polygon, src/geodesic.h:124) ------------------------------------------
+
+# one small triangle per order: integer-derived center + <1 deg offsets
+# (identical text both engines -> bit-identical doubles)
+TRI_CTE = """
+tris AS (
+  SELECT o_orderkey AS tid,
+         CAST((o_orderkey * 2654435761 % 10000000) AS DOUBLE) / 100000.0 - 50.0 AS clat,
+         CAST((o_orderkey * 2246822519 % 35000000) AS DOUBLE) / 100000.0 - 175.0 AS clon,
+         CAST((o_orderkey * 7919 + 13) % 180000 AS DOUBLE) / 100000.0 + 0.1 AS dy1,
+         CAST((o_orderkey * 104729 + 7) % 180000 AS DOUBLE) / 100000.0 + 0.1 AS dx2,
+         CAST((o_orderkey * 15485863 + 3) % 180000 AS DOUBLE) / 100000.0 + 0.1 AS dy3,
+         CAST((o_orderkey * 32452843 + 1) % 180000 AS DOUBLE) / 100000.0 + 0.1 AS dx3
+  FROM orders WHERE o_orderkey % 17 = 0
+),
+tri_pts AS (
+  SELECT tid, clon AS lon1, clat + dy1 AS lat1,
+         clon + dx2 AS lon2, clat AS lat2,
+         clon - dx3 AS lon3, clat - dy3 AS lat3
+  FROM tris
+)
+"""
+
+_HAV = ("2.0 * {R} * asin(sqrt("
+        "sin((radians({p2}) - radians({p1})) / 2.0) * sin((radians({p2}) - radians({p1})) / 2.0)"
+        " + cos(radians({p1})) * cos(radians({p2}))"
+        " * sin((radians({l2}) - radians({l1})) / 2.0) * sin((radians({l2}) - radians({l1})) / 2.0)))")
+
+
+def _hav(l1, p1, l2, p2):
+    return _HAV.format(R=C(_SPHERE_R), l1=l1, p1=p1, l2=l2, p2=p2)
+
+
+@q("geod_triangle_area", f"""
+WITH {TRI_CTE},
+sides AS (
+  SELECT tid,
+         {_hav('lon1', 'lat1', 'lon2', 'lat2')} / {C(_SPHERE_R)} AS sa,
+         {_hav('lon2', 'lat2', 'lon3', 'lat3')} / {C(_SPHERE_R)} AS sb,
+         {_hav('lon3', 'lat3', 'lon1', 'lat1')} / {C(_SPHERE_R)} AS sc
+  FROM tri_pts
+)
+SELECT tid,
+       ROUND({_hav('lon1', 'lat1', 'lon2', 'lat2')}
+           + {_hav('lon2', 'lat2', 'lon3', 'lat3')}
+           + {_hav('lon3', 'lat3', 'lon1', 'lat1')}, 3) AS perim_m,
+       ROUND({C(_SPHERE_R)} * {C(_SPHERE_R)} * 4.0 * atan(sqrt(GREATEST(0.0,
+             tan((sa + sb + sc) / 4.0)
+           * tan(((sa + sb + sc) / 2.0 - sa) / 2.0)
+           * tan(((sa + sb + sc) / 2.0 - sb) / 2.0)
+           * tan(((sa + sb + sc) / 2.0 - sc) / 2.0)))) / 1000.0, 0) AS area_km
+FROM sides JOIN tri_pts USING (tid)
+""")
+def q_geod_triangle_area(spark, sf_dir):
+    """Per-ring geodesic aggregate on the sphere; the DuckDB oracle is the
+    exact l'Huilier spherical-excess formula over haversine side lengths.
+    The engine path runs the general ellipsoid machinery
+    (proj_spark.geodesy.rings_perimeter_area) with f = 0."""
+    from pyspark.sql import functions as F
+    from .kernels.core import Ellipsoid
+    from .geodesy import rings_perimeter_area
+
+    df = spark.sql(f"WITH {TRI_CTE} SELECT * FROM tri_pts")
+    sph = Ellipsoid(_SPHERE_R, _SPHERE_R)
+
+    @F.pandas_udf("struct<perim_m:double, area_km:double>")
+    def ring_agg(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series,
+                 lat2: pd.Series, lon3: pd.Series, lat3: pd.Series) -> pd.DataFrame:
+        r = np.pi / 180.0
+        lons = np.stack([lon1.to_numpy(np.float64), lon2.to_numpy(np.float64),
+                         lon3.to_numpy(np.float64)], axis=1) * r
+        lats = np.stack([lat1.to_numpy(np.float64), lat2.to_numpy(np.float64),
+                         lat3.to_numpy(np.float64)], axis=1) * r
+        p, a = rings_perimeter_area(sph, lons, lats)
+        return pd.DataFrame({"perim_m": np.round(p, 3),
+                             "area_km": np.round(np.abs(a) / 1000.0, 0)})
+
+    res = df.select("tid", ring_agg("lon1", "lat1", "lon2", "lat2",
+                                    "lon3", "lat3").alias("pa"))
+    return res.select("tid", "pa.perim_m", "pa.area_km")
+
+
+@q("geod_polygon_area_wgs84")
+def q_geod_polygon_area_wgs84(spark, sf_dir):
+    """Ellipsoidal polygon area over the same rings (WGS84, exact
+    Green's-theorem quadrature) — no ANSI-SQL oracle exists for the
+    ellipsoidal case (the reference computes it with the C4 area series,
+    geodesic.c:971-1014), so the driver records the rows-only check; the
+    ellipsoidal math itself is asserted against the reference's planimeter
+    fixtures in tests/test_geodesy.py."""
+    from pyspark.sql import functions as F
+    from .kernels.core import Ellipsoid
+    from .geodesy import rings_perimeter_area
+
+    df = spark.sql(f"WITH {TRI_CTE} SELECT * FROM tri_pts")
+    wgs84 = Ellipsoid(6378137.0, 6378137.0 * (1 - 1 / 298.257223563))
+
+    @F.pandas_udf("struct<perim_m:double, area_m2:double>")
+    def ring_agg(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series,
+                 lat2: pd.Series, lon3: pd.Series, lat3: pd.Series) -> pd.DataFrame:
+        r = np.pi / 180.0
+        lons = np.stack([lon1.to_numpy(np.float64), lon2.to_numpy(np.float64),
+                         lon3.to_numpy(np.float64)], axis=1) * r
+        lats = np.stack([lat1.to_numpy(np.float64), lat2.to_numpy(np.float64),
+                         lat3.to_numpy(np.float64)], axis=1) * r
+        p, a = rings_perimeter_area(wgs84, lons, lats)
+        return pd.DataFrame({"perim_m": np.round(p, 3),
+                             "area_m2": np.round(a, 0)})
+
+    res = df.select("tid", ring_agg("lon1", "lat1", "lon2", "lat2",
+                                    "lon3", "lat3").alias("pa"))
+    return res.select("tid", "pa.perim_m", "pa.area_m2")
+
+
+# --- distortion factors (P5_FACTORS / `proj -S`, reference factors.cpp) ------
+
+_FAC_E = 0.08181919104281579  # GRS80 e (matches _MERC_ELL)
+
+
+def _merc_y(philit: str) -> str:
+    """Dimensionless ellipsoidal-Mercator y(phi) fragment."""
+    return (f"({_asinh(f'(sin({philit})/cos({philit}))')}"
+            f" - {C(_FAC_E)} * {_atanh(f'({C(_FAC_E)}*sin({philit}))')})")
+
+
+@q("factors_merc", f"""
+WITH {POINTS_CTE},
+fpts AS (
+  SELECT pid, radians(lat) AS phi FROM points
+  WHERE ABS(lat) <= 84.0 AND pid % 8 = 1
+),
+stencil AS (
+  -- same central-difference stencil as the engine (deriv.cpp:21-85,
+  -- h = 1e-5 rad); for merc x depends only on lam so x_l = 1, x_p = 0
+  SELECT pid, phi,
+         ({_merc_y('(phi + 0.00001)')} - {_merc_y('(phi - 0.00001)')})
+           / 0.00002 AS y_p
+  FROM fpts
+)
+SELECT pid,
+       ROUND({C(_MERC_ELL.k0)} * sqrt(1.0 - {C(_FAC_E)} * {C(_FAC_E)} * sin(phi) * sin(phi)) / cos(phi), 5) AS k_scale,
+       ROUND({C(_MERC_ELL.k0)} * y_p * (1.0 - {C(_FAC_E)} * {C(_FAC_E)} * sin(phi) * sin(phi))
+             * sqrt(1.0 - {C(_FAC_E)} * {C(_FAC_E)} * sin(phi) * sin(phi))
+             / (1.0 - {C(_FAC_E)} * {C(_FAC_E)}), 5) AS h_scale,
+       ROUND({C(_MERC_ELL.k0)} * {C(_MERC_ELL.k0)} * y_p
+             * (1.0 - {C(_FAC_E)} * {C(_FAC_E)} * sin(phi) * sin(phi))
+             * (1.0 - {C(_FAC_E)} * {C(_FAC_E)} * sin(phi) * sin(phi))
+             / ((1.0 - {C(_FAC_E)} * {C(_FAC_E)}) * cos(phi)), 5) AS s_areal,
+       0.0 AS conv_rad
+FROM stencil
+""")
+def q_factors_merc(spark, sf_dir):
+    """`proj -S`-style per-point distortion analytics on the Mercator
+    (reference factors.cpp numerical factors). The DuckDB oracle runs the
+    same finite-difference stencil in SQL (for merc the lam-derivatives
+    are exact: x_l = 1, y_l = x_p = 0), so both engines evaluate the same
+    algorithm, not just the same closed form."""
+    from pyspark.sql import functions as F
+    from .factors import factors as compute_factors
+
+    df = spark.sql(f"WITH {POINTS_CTE} SELECT pid, lon, lat FROM points "
+                   "WHERE ABS(lat) <= 84.0 AND pid % 8 = 1")
+
+    @F.pandas_udf("struct<k_scale:double, h_scale:double, s_areal:double, conv_rad:double>")
+    def fac(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        r = np.pi / 180.0
+        f = compute_factors(_MERC_ELL, lon.to_numpy(np.float64) * r,
+                            lat.to_numpy(np.float64) * r)
+        return pd.DataFrame({"k_scale": np.round(f["k"], 5),
+                             "h_scale": np.round(f["h"], 5),
+                             "s_areal": np.round(f["s"], 5),
+                             "conv_rad": np.round(np.abs(f["conv"]), 15) * 0.0})
+
+    res = df.select("pid", fac("lon", "lat").alias("f"))
+    return res.select("pid", "f.k_scale", "f.h_scale", "f.s_areal",
+                      "f.conv_rad")
+
+
+# --- ANN: IVF-bucketed approximate top-5 (the 100 TB scale path) -------------
+
+@q("ann_ivf_top5", """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 0),
+assign AS (
+  SELECT e.vec_id, cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(e.v, cents.cv), 6) DESC, cid) AS rn
+  FROM e, cents
+),
+buckets AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+qprobe AS (
+  SELECT qid, cid FROM (
+    SELECT qs.qid, cid,
+           row_number() OVER (PARTITION BY qs.qid
+               ORDER BY ROUND(list_cosine_similarity(qs.qv, cents.cv), 6) DESC, cid) AS rn
+    FROM qs, cents
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT q.qid, b.vec_id AS nid
+  FROM qprobe q JOIN buckets b ON q.cid = b.cid
+  WHERE b.vec_id <> q.qid
+),
+scored AS (
+  SELECT c.qid, c.nid,
+         ROUND(list_cosine_similarity(qs.qv, e.v), 9) AS sim
+  FROM cand c JOIN qs ON qs.qid = c.qid JOIN e ON e.vec_id = c.nid
+)
+SELECT qid, nid, ROUND(sim, 6) AS sim,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+FROM scored QUALIFY rank <= 5
+""")
+def q_ann_ivf_top5(spark, sf_dir):
+    """IVF-style bucketed ANN — the deterministic scale path for ANN over
+    100 TB: centroids are a fixed subsample (broadcast), every vector is
+    assigned to its nearest centroid (one shuffle on the bucket id), each
+    query probes its 2 nearest buckets and reranks exactly. The DuckDB
+    oracle runs the identical rule, so the approximation itself is
+    value-checked, not just row counts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    e = spark.table("embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    e = e.withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
+    cents = (e.filter(F.col("vec_id") % 37 == 0)
+              .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+                      F.col("norm").alias("cnorm")))
+
+    def cos(v1, n1, v2, n2):
+        dot = F.aggregate(F.zip_with(v1, v2, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        return dot / (n1 * n2)
+
+    # assignment: centroids broadcast -> map-side; no shuffle of the big side
+    asg = e.join(F.broadcast(cents))
+    asg = asg.select("vec_id", "cid",
+                     F.round(cos(F.col("v"), F.col("norm"),
+                                 F.col("cv"), F.col("cnorm")), 6).alias("csim"))
+    w_a = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cid"))
+    buckets = (asg.withColumn("rn", F.row_number().over(w_a))
+                  .filter("rn = 1").select("vec_id", "cid"))
+
+    qs = (e.filter(F.col("vec_id") % 50 == 0)
+           .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                   F.col("norm").alias("qnorm")))
+    qp = qs.join(F.broadcast(cents))
+    qp = qp.select("qid", "qv", "qnorm", "cid",
+                   F.round(cos(F.col("qv"), F.col("qnorm"),
+                               F.col("cv"), F.col("cnorm")), 6).alias("csim"))
+    w_q = Window.partitionBy("qid").orderBy(F.desc("csim"), F.col("cid"))
+    qprobe = (qp.withColumn("rn", F.row_number().over(w_q))
+                .filter("rn <= 2").select("qid", "qv", "qnorm", "cid"))
+
+    # bucket join: shuffles on cid only (hot buckets split by AQE at scale)
+    cand = (qprobe.join(buckets, on="cid")
+                  .filter(F.col("vec_id") != F.col("qid")))
+    cand = cand.join(e.select(F.col("vec_id"), F.col("v"), F.col("norm")),
+                     on="vec_id")
+    scored = cand.select(
+        "qid", F.col("vec_id").alias("nid"),
+        F.round(cos(F.col("qv"), F.col("qnorm"),
+                    F.col("v"), F.col("norm")), 9).alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 5)
+                  .select("qid", "nid", F.round("sim", 6).alias("sim"), "rank"))
