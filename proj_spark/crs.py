@@ -22,7 +22,33 @@ from .kernels import cyl, conic, cartgeo, datum, azimuthal, gridshift, pseudocyl
 def parse_proj_params(s: str) -> list[dict]:
     """Tokenize a proj-string; returns one dict per step (a non-pipeline
     string yields a single-element list)."""
-    toks = s.replace("\n", " ").split()
+    toks = s.replace("\n", " ").replace("\\", " ").split()
+    # merge free-format "key = value" / "key =value" / "key= value" triples
+    # (reference pj_trim_argv tokenization, src/4D_api.cpp:993-1041)
+    merged = []
+    i = 0
+    while i < len(toks):
+        tok = toks[i]
+        if tok == "=" and merged and i + 1 < len(toks):
+            merged[-1] = merged[-1] + "=" + toks[i + 1]
+            i += 2
+            continue
+        if tok.endswith("=") and i + 1 < len(toks) and "=" not in toks[i + 1]:
+            merged.append(tok + toks[i + 1])
+            i += 2
+            continue
+        if tok.startswith("=") and merged and "=" not in merged[-1]:
+            merged[-1] = merged[-1] + tok
+            i += 1
+            continue
+        # "towgs84=1, 2, 3" comma-continuation (pj_trim_argc list values)
+        if merged and "=" in merged[-1] and merged[-1].endswith(","):
+            merged[-1] = merged[-1] + tok
+            i += 1
+            continue
+        merged.append(tok)
+        i += 1
+    toks = merged
     global_params: dict = {}
     steps: list[dict] = []
     cur: dict | None = None
@@ -54,8 +80,11 @@ def parse_proj_params(s: str) -> list[dict]:
         steps.append(cur)
     if not is_pipeline:
         return [global_params]
-    # pipeline global params (e.g. +ellps before first step) inherit into steps
-    inherit = {k: v for k, v in global_params.items() if k != "proj"}
+    # pipeline global params (e.g. +ellps before first step) inherit into
+    # steps; a global +inv inverts the PIPELINE, not each step
+    # (pipeline.cpp runs the op inverted via P->inverted), handled in create()
+    inherit = {k: v for k, v in global_params.items()
+               if k not in ("proj", "inv")}
     out = []
     for st in steps:
         merged = dict(inherit)
@@ -72,9 +101,23 @@ def create(defn: str):
     steps = parse_proj_params(defn)
     if len(steps) == 1 and "step" not in defn and "pipeline" not in defn:
         p = steps[0]
-        return _create_step(p)[0]
+        op, direction = _create_step(p)
+        if direction == "inverse":
+            # +inv on a plain operator runs it inverted (P->inverted)
+            return Pipeline([(op, "inverse")])
+        return op
     ops = [_create_step(p) for p in steps]
-    return Pipeline(ops)
+    pipe = Pipeline(ops)
+    # global +inv before the first step inverts the whole pipeline
+    head = []
+    for tok in defn.replace("\n", " ").split():
+        t = tok.lstrip("+")
+        if t == "step":
+            break
+        head.append(t)
+    if "inv" in head:
+        return Pipeline([(pipe, "inverse")])
+    return pipe
 
 
 def _create_step(p: dict):

@@ -132,7 +132,25 @@ class Axisswap(Operator):
     left = U_WHATEVER
     right = U_WHATEVER
 
+    # classic enu axis spec (reference axisswap.cpp:189-225)
+    _AXIS_CHARS = {"e": (0, 1.0), "w": (0, -1.0), "n": (1, 1.0),
+                   "s": (1, -1.0), "u": (2, 1.0), "d": (2, -1.0)}
+
     def setup(self):
+        if ("order" in self.params) == ("axis" in self.params):
+            raise ValueError(
+                "axisswap needs EITHER +order OR +axis (axisswap.cpp:145)")
+        if "axis" in self.params:
+            spec = str(self.params["axis"])
+            if len(spec) != 3 or any(c not in self._AXIS_CHARS for c in spec):
+                raise ValueError(f"invalid axis spec {spec!r}")
+            axis = [self._AXIS_CHARS[c][0] for c in spec] + [3]
+            sign = [self._AXIS_CHARS[c][1] for c in spec] + [1.0]
+            if sorted(axis) != [0, 1, 2, 3]:
+                raise ValueError("axisswap axis must not repeat")
+            self.axis = axis
+            self.sign = sign
+            return
         order = str(self.params.get("order", "1,2,3,4"))
         toks = [s.strip() for s in order.split(",") if s.strip()]
         axis = []
@@ -290,14 +308,48 @@ class Unitconvert(Operator):
     left = U_WHATEVER
     right = U_WHATEVER
 
+    # unitconvert bypasses the angular prepare/finalize machinery
+    # (reference unitconvert.cpp:436-437 skip_fwd/inv_prepare)
+    skip_prepare = True
+
+    @staticmethod
+    def _linearness(name: str):
+        """True linear / False angular / None unknown numeric factor."""
+        if name in UNITS:
+            return True
+        if name in _ANGULAR_UNITS:
+            return False
+        return None
+
     def setup(self):
         p = self.params
-        xy_in = _unit_factor(str(p.get("xy_in", "1")))
-        xy_out = _unit_factor(str(p.get("xy_out", "1")))
-        z_in = _unit_factor(str(p.get("z_in", "1")))
-        z_out = _unit_factor(str(p.get("z_out", "1")))
+        xy_in_name = str(p.get("xy_in", "1"))
+        xy_out_name = str(p.get("xy_out", "1"))
+        z_in_name = str(p.get("z_in", "1"))
+        z_out_name = str(p.get("z_out", "1"))
+        for pair in ((xy_in_name, xy_out_name), (z_in_name, z_out_name)):
+            lin = [self._linearness(n) for n in pair if n != "1"]
+            lin = [v for v in lin if v is not None]
+            if len(set(lin)) > 1:
+                raise ValueError(
+                    "unitconvert: cannot mix linear and angular units "
+                    "(unitconvert.cpp unit-type check)")
+        xy_in = _unit_factor(xy_in_name)
+        xy_out = _unit_factor(xy_out_name)
+        z_in = _unit_factor(z_in_name)
+        z_out = _unit_factor(z_out_name)
         self.xy_factor = xy_in / xy_out
         self.z_factor = z_in / z_out
+        # io-unit tags for angular xy units (unitconvert.cpp:455-459,476-480)
+        from ..ops import U_RADIANS, U_DEGREES
+        if xy_in_name == "rad":
+            self.left = U_RADIANS
+        elif xy_in_name == "deg":
+            self.left = U_DEGREES
+        if xy_out_name == "rad":
+            self.right = U_RADIANS
+        elif xy_out_name == "deg":
+            self.right = U_DEGREES
         self.t_in = p.get("t_in")
         self.t_out = p.get("t_out")
         if self.t_in is not None and self.t_in not in _TIME_IN:

@@ -157,6 +157,10 @@ def _spherify(ell: Ellipsoid, params: dict) -> Ellipsoid:
 
 
 def _resolve_base(params: dict) -> Ellipsoid:
+    # +ellps/+datum provide DEFAULTS for a and the shape; explicit
+    # +a/+b/+rf/+f/+es override them individually (the reference expands
+    # +ellps into a=/rf= entries that lose against earlier explicit
+    # params, pj_ell_init paralist precedence)
     if "datum" in params:
         ell, _ = DATUM_TABLE[params["datum"]]
         base = ellps_from_name(ell)
@@ -166,22 +170,29 @@ def _resolve_base(params: dict) -> Ellipsoid:
         base = None
     if "a" in params:
         a = float(params["a"])
-        if "b" in params:
-            return Ellipsoid(a, float(params["b"]))
-        if "rf" in params:
-            rf = float(params["rf"])
-            return Ellipsoid(a, a * (1 - 1 / rf) if rf else a)
-        if "f" in params:
-            f = float(params["f"])
-            return Ellipsoid(a, a * (1 - f))
-        if "es" in params:
-            es = float(params["es"])
-            return Ellipsoid(a, a * np.sqrt(1 - es))
-        return Ellipsoid(a, a)  # sphere of radius a
-    if base is not None:
-        return base
-    # the reference's default ellipsoid is GRS80 (src/init.cpp:362)
-    return ellps_from_name("GRS80")
+    elif base is not None:
+        a = base.a
+    else:
+        a = None
+    if "b" in params:
+        b = float(params["b"])
+        if a is None:
+            a = b
+    elif a is not None and "rf" in params:
+        rf = float(params["rf"])
+        b = a * (1 - 1 / rf) if rf else a
+    elif a is not None and "f" in params:
+        b = a * (1 - float(params["f"]))
+    elif a is not None and "es" in params:
+        b = a * np.sqrt(1 - float(params["es"]))
+    elif base is not None:
+        b = base.b * (a / base.a)  # keep the named shape (flattening)
+    elif a is not None:
+        b = a  # bare +a: sphere
+    else:
+        # the reference's default ellipsoid is GRS80 (src/init.cpp:362)
+        return ellps_from_name("GRS80")
+    return Ellipsoid(a, b)
 
 
 # --------------------------------------------------------------------------

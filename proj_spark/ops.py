@@ -166,6 +166,7 @@ class Operator:
     left = U_RADIANS
     right = U_CLASSIC
     has_inverse = True
+    skip_prepare = False  # unitconvert-style ops bypass angular prepare
 
     def __init__(self, params: dict, invoked_name: str | None = None):
         self.params = dict(params)
@@ -208,6 +209,15 @@ class Operator:
             self.lon_wrap = parse_angle(params["lon_wrap"]) * DEG_TO_RAD
         else:
             self.lon_wrap = None
+        # +axis= on a non-axisswap operator attaches an output axisswap
+        # (reference src/init.cpp:626-645 + src/fwd.cpp:172-173); skipped
+        # when already "enu" (4D_api.cpp:861)
+        self._axis_sub = None
+        ax = params.get("axis")
+        if ax is not None and self.name != "axisswap":
+            if str(ax) != "enu":
+                self._axis_sub = _REGISTRY["axisswap"](
+                    {"proj": "axisswap", "axis": str(ax)}, "axisswap")
         self._datum_shift = _build_datum_shift(params)
         self.setup()
 
@@ -229,7 +239,7 @@ class Operator:
         z = np.zeros_like(x) if z is None else np.asarray(z, dtype=np.float64).copy()
         t = np.zeros_like(x) if t is None else np.asarray(t, dtype=np.float64).copy()
 
-        if self.left == U_RADIANS:
+        if self.left == U_RADIANS and not self.skip_prepare:
             # fwd_prepare: validate + poison (reference src/fwd.cpp:53-77)
             bad = (np.abs(y) - HALF_PI > EPS_LAT) | (np.abs(x) > 10.0)
             x = np.where(bad, np.nan, x)
@@ -275,6 +285,8 @@ class Operator:
         mask = np.isnan(x) | np.isnan(y)
         x = np.where(mask, np.nan, x)
         y = np.where(mask, np.nan, y)
+        if self._axis_sub is not None:
+            x, y, z, t = self._axis_sub._fwd(x, y, z, t)
         return x, y, z, t
 
     def inv(self, x, y, z=None, t=None):
@@ -283,6 +295,8 @@ class Operator:
         y = np.asarray(y, dtype=np.float64).copy()
         z = np.zeros_like(x) if z is None else np.asarray(z, dtype=np.float64).copy()
         t = np.zeros_like(x) if t is None else np.asarray(t, dtype=np.float64).copy()
+        if self._axis_sub is not None:
+            x, y, z, t = self._axis_sub._inv(x, y, z, t)
 
         # inv_prepare: undo finalize
         if self.right == U_CLASSIC:
@@ -304,7 +318,7 @@ class Operator:
             x, y, z, t = self._inv(x, y, z, t)
 
         # inv_finalize: re-offset central meridian, wrap, geoc
-        if self.left == U_RADIANS:
+        if self.left == U_RADIANS and not self.skip_prepare:
             # reference src/inv.cpp:113
             x = x + self.from_greenwich + self.lam0
             if not self.over:

@@ -47,7 +47,9 @@ def _prep_input(op, direction, coords):
     x, y = coords[0], coords[1]
     z = coords[2] if len(coords) > 2 else 0.0
     t = coords[3] if len(coords) > 3 else np.nan
-    if _angular(op.input_units(direction)):
+    # gie converts input to radians only for RADIANS io-units
+    # (proj_angular_input); DEGREES units pass through raw
+    if op.input_units(direction) == U_RADIANS:
         x = x * DEG_TO_RAD
         y = y * DEG_TO_RAD
     return (np.array([x]), np.array([y]), np.array([z]), np.array([t]))
@@ -57,7 +59,7 @@ def _check(op, direction, got, expect, tol, ndims):
     gx, gy, gz, _ = got
     ex, ey = expect[0], expect[1]
     ez = expect[2] if len(expect) > 2 else None
-    if _angular(op.output_units(direction)):
+    if op.output_units(direction) == U_RADIANS:
         # got is radians; expect is degrees -> metric compare (gie.cpp:1056)
         d = lp_dist_m(op.ell if hasattr(op, "ell") else Ellipsoid(6378137.0, 6356752.3142),
                       gx, gy, np.array([ex * DEG_TO_RAD]), np.array([ey * DEG_TO_RAD]))[0]

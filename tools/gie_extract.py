@@ -40,7 +40,7 @@ SUPPORTED_OPS: set[str] = set()
 
 # params we cannot honour yet -> drop the whole block
 UNSUPPORTED_PARAMS = {
-    "axis", "nadgrids", "geoidgrids", "init", "geoid_crs",
+    "nadgrids", "geoidgrids", "init", "geoid_crs",
 }
 
 _num_re = re.compile(r"[-+0-9.eE]+")
@@ -59,11 +59,13 @@ def _coord(tok: str) -> float:
 
 
 def _proj_names(op_def: str) -> list[str]:
-    return re.findall(r"\+proj=(\S+)", op_def)
+    # gie accepts both "+proj=x" and bare "proj=x" (gie.cpp free format)
+    return re.findall(r"(?:^|[+\s])proj=(\S+)", op_def)
 
 
 def _param_keys(op_def: str) -> set[str]:
-    return set(re.findall(r"\+([A-Za-z_0-9]+)", op_def))
+    return set(re.findall(r"(?:^|[+\s])([A-Za-z_0-9]+)\s*=", op_def)) | \
+        set(re.findall(r"\+([A-Za-z_0-9]+)", op_def))
 
 
 def _tol_to_m(val: float, unit: str) -> float:
@@ -185,7 +187,7 @@ def filter_supported(records: list[dict]) -> tuple[list[dict], dict]:
             # requires bit-identical operation order, not math parity
             skipped["krovak:apex"] = skipped.get("krovak:apex", 0) + 1
             continue
-        if "+grids=" in r["op_def"]:
+        if "grids=" in r["op_def"]:
             # reference grid FILES (gsb/gtx/tif) aren't loadable here; the
             # engine's grid registry serves synthetic grids only
             skipped["param:grids"] = skipped.get("param:grids", 0) + 1
