@@ -123,11 +123,32 @@ def create(defn: str):
 def _create_step(p: dict):
     direction = "inverse" if "inv" in p else "forward"
     q = {k: v for k, v in p.items() if k != "inv"}
+    if "init" in q:
+        # +init= expansion (reference src/init.cpp:505-512); epsg: codes
+        # resolve through the static registry, other init files through
+        # _INIT_STATIC; explicit params take precedence
+        target = str(q.pop("init")).lower()
+        if target.startswith("epsg:"):
+            defn = epsg_to_proj(int(target.split(":")[1]))
+        elif target in _INIT_STATIC:
+            defn = _INIT_STATIC[target]
+        else:
+            raise KeyError(f"unsupported init file {target}")
+        expanded = parse_proj_params(defn)[0]
+        for k, v in expanded.items():
+            q.setdefault(k, v)
     op = create_operator(q)
     # dead-step elision flags (reference src/conversions/pipeline.cpp:119-120)
     op._omit_fwd = "omit_fwd" in p
     op._omit_inv = "omit_inv" in p
     return (op, direction)
+
+
+# init-file entries used by the reference test suite (data/nad27:579-582)
+_INIT_STATIC = {
+    "nad27:3901": "proj=lcc datum=NAD27 lon_0=-81 lat_1=34d58 lat_2=33d46 "
+                  "lat_0=33 x_0=609601.2192024384 y_0=0",
+}
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,7 @@ SUPPORTED_OPS: set[str] = set()
 
 # params we cannot honour yet -> drop the whole block
 UNSUPPORTED_PARAMS = {
-    "nadgrids", "geoidgrids", "init", "geoid_crs",
+    "nadgrids", "geoidgrids", "geoid_crs",
 }
 
 _num_re = re.compile(r"[-+0-9.eE]+")
