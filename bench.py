@@ -32,6 +32,9 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "ann_cosine_top5",
+    "ann_ivf_top5",
+    "geod_triangle_area",
+    "factors_merc",
     "events_hourly",
 ]
 

@@ -147,7 +147,7 @@ def polyline_length(ell: Ellipsoid, lon, lat) -> float:
     return float(np.sum(s12))
 
 
-def rings_perimeter_area(ell: Ellipsoid, lons, lats):
+def rings_perimeter_area(ell: Ellipsoid, lons, lats, panels: int | None = None):
     """Batched fixed-arity rings: ``lons``/``lats`` shape (n_rings, k)
     in RADIANS. Returns (perimeter[n], signed_area[n]) with the same
     semantics as :func:`polygon_perimeter_area`, fully vectorized across
@@ -155,6 +155,16 @@ def rings_perimeter_area(ell: Ellipsoid, lons, lats):
     quadrature nodes) — the engine's Spark aggregation path (pandas_udf
     over one-ring-per-row frames, no per-row Python).
     """
+    if panels is None:
+        gl_t, gl_wt = _GL_T, _GL_WT
+    else:
+        # small rings (sub-degree edges) saturate double precision with a
+        # single order-24 panel; the composite default is for the
+        # pole-hugging planimeter extremes
+        gl_t = np.concatenate([(pp + 0.5 * (_gx + 1.0)) / panels
+                               for pp in range(panels)])
+        gl_wt = np.concatenate([0.5 * _gw / panels] * panels)
+    n_nodes = gl_t.size
     lons = np.asarray(lons, dtype=np.float64)
     lats = np.clip(np.asarray(lats, dtype=np.float64),
                    -0.5 * np.pi, 0.5 * np.pi)
@@ -169,10 +179,10 @@ def rings_perimeter_area(ell: Ellipsoid, lons, lats):
     perimeter = s12.reshape(nr, k).sum(axis=1)
 
     ne = nr * k
-    s_nodes = (s12[:, None] * _GL_T[None, :]).ravel()
-    _, phi_n, azi_n = solver.direct(np.repeat(lon1, _GL_NODES),
-                                    np.repeat(lat1, _GL_NODES),
-                                    np.repeat(azi1, _GL_NODES), s_nodes)
+    s_nodes = (s12[:, None] * gl_t[None, :]).ravel()
+    _, phi_n, azi_n = solver.direct(np.repeat(lon1, n_nodes),
+                                    np.repeat(lat1, n_nodes),
+                                    np.repeat(azi1, n_nodes), s_nodes)
     sinphi = np.sin(phi_n)
     cosphi = np.cos(phi_n)
     nu = ell.a / np.sqrt(1.0 - ell.es * sinphi * sinphi)
@@ -181,15 +191,15 @@ def rings_perimeter_area(ell: Ellipsoid, lons, lats):
     a_ref = _area_fn(ell, np.sin(np.mean(lats, axis=1)))       # (nr,)
     a_ref_e = np.repeat(a_ref, k)                              # (ne,)
     integ = (_area_fn(ell, sinphi)
-             - np.repeat(a_ref_e, _GL_NODES)) * dlam_ds
+             - np.repeat(a_ref_e, n_nodes)) * dlam_ds
     integ = np.where(np.isfinite(integ), integ, 0.0)
-    edge_int = (integ.reshape(ne, _GL_NODES) * _GL_WT[None, :]).sum(axis=1) \
+    edge_int = (integ.reshape(ne, n_nodes) * gl_wt[None, :]).sum(axis=1) \
         * s12
-    dlam_quad = (dlam_ds.reshape(ne, _GL_NODES)
-                 * _GL_WT[None, :]).sum(axis=1) * s12
+    dlam_quad = (dlam_ds.reshape(ne, n_nodes)
+                 * gl_wt[None, :]).sum(axis=1) * s12
     dlam = adjlon(lon2 - lon1)
     resid = dlam - dlam_quad
-    phi_grid = phi_n.reshape(ne, _GL_NODES)
+    phi_grid = phi_n.reshape(ne, n_nodes)
     ext_idx = np.argmax(np.abs(phi_grid), axis=1)
     phi_ext = phi_grid[np.arange(ne), ext_idx]
     f = 1.0 - ell.b / ell.a

@@ -504,34 +504,81 @@ def create_operator(params: dict):
     return _REGISTRY[name](params, name)
 
 
-def generic_inverse_2d(op, x, y, lam0, phi0, tol=1e-12, n_iter=12,
+def generic_inverse_2d(op, x, y, lam0, phi0, tol=1e-12, n_iter=15,
                        max_step=0.3):
-    """Vectorized 2D Newton inverse on an operator's raw ``_fwd`` kernel
-    with numerically-differenced Jacobian (reference
-    src/generic_inverse.cpp:44-120 pj_generic_inverse_2d): refines an
-    initial (lam, phi) guess until fwd(lp) reproduces (x, y); steps clamped
-    to ``max_step`` rad, lam/phi clamped to their domains."""
-    lam = np.clip(np.asarray(lam0, dtype=np.float64), -np.pi, np.pi)
-    phi = np.clip(np.asarray(phi0, dtype=np.float64), -HALF_PI, HALF_PI)
+    """Vectorized 2D quasi-Newton inverse on an operator's raw ``_fwd``
+    kernel with numerically-differenced Jacobian (reference
+    src/generic_inverse.cpp pj_generic_inverse_2d): refines an initial
+    (lam, phi) guess until fwd(lp) reproduces (x, y). Mirrors the
+    reference's safeguards: the inverse Jacobian is kept from the last
+    well-conditioned iteration when det == 0 or the residual is tiny
+    (degenerate at the poles), steps are clamped to ``max_step`` rad,
+    lam/phi are clamped to their domains, and a target component that is
+    exactly 0 freezes its coordinate (on-axis symmetry points)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lam = np.clip(np.asarray(lam0, dtype=np.float64), -np.pi, np.pi).copy()
+    phi = np.clip(np.asarray(phi0, dtype=np.float64), -HALF_PI, HALF_PI).copy()
     z = np.zeros_like(lam)
     t = np.full_like(lam, np.nan)
-    for _ in range(n_iter):
+    j_lam_X = np.zeros_like(lam)
+    j_lam_Y = np.zeros_like(lam)
+    j_phi_X = np.zeros_like(lam)
+    j_phi_Y = np.zeros_like(lam)
+    # per-point trust radius: a candidate that worsens the residual is
+    # rejected and the radius shrinks (the bare reference iteration can
+    # ping-pong against the +-pi/2 clamp near the poles); an accepted step
+    # re-grows it. Guarantees monotone residual decrease.
+    trust = np.full_like(lam, max_step)
+    res = np.full_like(lam, np.inf)
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        for i in range(max(n_iter, 60)):
+            fx, fy, _, _ = op._fwd(lam, phi, z, t)
+            dX = fx - x
+            dY = fy - y
+            res = np.maximum(np.abs(dX), np.abs(dY))
+            done = (np.abs(dX) < tol) & (np.abs(dY) < tol)
+            if np.all(done):
+                break
+            # refresh the Jacobian only while the residual is significant
+            # (generic_inverse.cpp:64-85)
+            refresh = (i == 0) | (np.abs(dX) > 1e-6) | (np.abs(dY) > 1e-6)
+            dlam_h = np.where(lam > 0, -1e-6, 1e-6)
+            fx1, fy1, _, _ = op._fwd(lam + dlam_h, phi, z, t)
+            dXdl = (fx1 - fx) / dlam_h
+            dYdl = (fy1 - fy) / dlam_h
+            dphi_h = np.where(phi > 0, -1e-6, 1e-6)
+            fx2, fy2, _, _ = op._fwd(lam, phi + dphi_h, z, t)
+            dXdp = (fx2 - fx) / dphi_h
+            dYdp = (fy2 - fy) / dphi_h
+            det = dXdl * dYdp - dXdp * dYdl
+            ok = refresh & np.isfinite(det) & (det != 0.0)
+            j_lam_X = np.where(ok, dYdp / det, j_lam_X)
+            j_lam_Y = np.where(ok, -dXdp / det, j_lam_Y)
+            j_phi_X = np.where(ok, -dYdl / det, j_phi_X)
+            j_phi_Y = np.where(ok, dXdl / det, j_phi_Y)
+            step_l = np.clip(dX * j_lam_X + dY * j_lam_Y, -trust, trust)
+            step_p = np.clip(dX * j_phi_X + dY * j_phi_Y, -trust, trust)
+            upd_l = (~done) & (x != 0.0)
+            upd_p = (~done) & (y != 0.0)
+            cand_lam = np.where(upd_l, np.clip(lam - step_l, -np.pi, np.pi),
+                                lam)
+            cand_phi = np.where(upd_p,
+                                np.clip(phi - step_p, -HALF_PI, HALF_PI), phi)
+            cfx, cfy, _, _ = op._fwd(cand_lam, cand_phi, z, t)
+            cres = np.maximum(np.abs(cfx - x), np.abs(cfy - y))
+            accept = done | (cres <= res) | ~np.isfinite(res)
+            lam = np.where(accept, cand_lam, lam)
+            phi = np.where(accept, cand_phi, phi)
+            trust = np.where(done, trust,
+                             np.where(accept,
+                                      np.minimum(trust * 2.0, max_step),
+                                      trust * 0.25))
+        # non-convergence -> poison, like the reference returning
+        # PROJ_ERR_COORD_TRANSFM_OUTSIDE_PROJECTION_DOMAIN after its
+        # iteration budget (generic_inverse.cpp:113-115)
         fx, fy, _, _ = op._fwd(lam, phi, z, t)
-        dX = fx - x
-        dY = fy - y
-        dlam_h = np.where(lam > 0, -1e-6, 1e-6)
-        fx1, fy1, _, _ = op._fwd(lam + dlam_h, phi, z, t)
-        dXdl = (fx1 - fx) / dlam_h
-        dYdl = (fy1 - fy) / dlam_h
-        dphi_h = np.where(phi > 0, -1e-6, 1e-6)
-        fx2, fy2, _, _ = op._fwd(lam, phi + dphi_h, z, t)
-        dXdp = (fx2 - fx) / dphi_h
-        dYdp = (fy2 - fy) / dphi_h
-        det = dXdl * dYdp - dXdp * dYdl
-        det = np.where(det == 0, np.nan, det)
-        step_l = np.clip((dX * dYdp - dY * dXdp) / det, -max_step, max_step)
-        step_p = np.clip((dY * dXdl - dX * dYdl) / det, -max_step, max_step)
-        done = (np.abs(dX) < tol) & (np.abs(dY) < tol)
-        lam = np.where(done, lam, np.clip(lam - step_l, -np.pi, np.pi))
-        phi = np.where(done, phi, np.clip(phi - step_p, -HALF_PI, HALF_PI))
+        bad = ~((np.abs(fx - x) < 1e-8) & (np.abs(fy - y) < 1e-8))
+        lam = np.where(bad, np.nan, lam)
+        phi = np.where(bad, np.nan, phi)
     return lam, phi

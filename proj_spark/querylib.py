@@ -1250,7 +1250,7 @@ def q_geod_triangle_area(spark, sf_dir):
                          lon3.to_numpy(np.float64)], axis=1) * r
         lats = np.stack([lat1.to_numpy(np.float64), lat2.to_numpy(np.float64),
                          lat3.to_numpy(np.float64)], axis=1) * r
-        p, a = rings_perimeter_area(sph, lons, lats)
+        p, a = rings_perimeter_area(sph, lons, lats, panels=1)
         return pd.DataFrame({"perim_m": np.round(p, 3),
                              "area_km": np.round(np.abs(a) / 1000.0, 0)})
 
@@ -1282,7 +1282,7 @@ def q_geod_polygon_area_wgs84(spark, sf_dir):
                          lon3.to_numpy(np.float64)], axis=1) * r
         lats = np.stack([lat1.to_numpy(np.float64), lat2.to_numpy(np.float64),
                          lat3.to_numpy(np.float64)], axis=1) * r
-        p, a = rings_perimeter_area(wgs84, lons, lats)
+        p, a = rings_perimeter_area(wgs84, lons, lats, panels=1)
         return pd.DataFrame({"perim_m": np.round(p, 3),
                              "area_m2": np.round(a, 0)})
 

@@ -51,3 +51,68 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
          .start())
     q.awaitTermination()
     return q
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: per-user sessionization via
+    ``applyInPandasWithState`` (the engine's analogue of a bespoke
+    stateful streaming operator — SURVEY.md §2.3 notes the reference has
+    none; this is engine-side training-pipeline surface).
+
+    Emits one row per CLOSED session (a user quiet for ``gap_minutes``):
+    (user_id, session_start, session_end, n_events, sum_value). State per
+    user is (start, last_ts, n, sum) — O(1) per key; the processing-time
+    timeout closes idle sessions, so state is bounded by the active-user
+    set, not history. At 100 TB scale the state store shards by user_id
+    across the shuffle partitions.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    out_schema = ("user_id long, session_start timestamp, "
+                  "session_end timestamp, n_events long, sum_value double")
+    state_schema = "start double, last double, n long, total double"
+
+    def fn(key, pdfs, state):
+        closed = []
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            closed.append((key[0], start, last, n, total))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values("ts")
+            ts = rows["ts"].astype("int64").to_numpy() / 1e9
+            vals = rows["value"].to_numpy()
+            if state.exists:
+                start, last, n, total = state.get
+            else:
+                start, last, n, total = float(ts[0]), float(ts[0]), 0, 0.0
+            for t_i, v_i in zip(ts, vals):
+                if t_i - last > gap_s and n > 0:
+                    closed.append((key[0], start, last, n, total))
+                    start, n, total = float(t_i), 0, 0.0
+                last = float(t_i)
+                n += 1
+                total += float(v_i)
+            state.update((start, last, n, total))
+            state.setTimeoutDuration(gap_s * 1000)
+        if not closed:
+            yield pd.DataFrame(columns=["user_id", "session_start",
+                                        "session_end", "n_events",
+                                        "sum_value"])
+            return
+        out = pd.DataFrame(closed, columns=["user_id", "session_start",
+                                            "session_end", "n_events",
+                                            "sum_value"])
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="s")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="s")
+        yield out
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.ProcessingTimeTimeout))

@@ -84,3 +84,33 @@ def test_watermark_closed_windows_are_final(spark, tmp_path):
     # exactly one finalized row for the 10:00 window, containing only the
     # two pre-watermark events — the straggler neither re-emits nor mutates
     assert ten == [("2024-01-01 10:00:00", "click", 2, 3.0)], rows
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: two bursts separated by more
+    than the gap close into two sessions for the same user."""
+    import pandas as pd
+    from proj_spark.streaming import read_event_stream, sessionize, run_to_memory
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    rows = []
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for i in range(5):  # burst 1
+        rows.append((i, base + pd.Timedelta(minutes=i), 7, "click", 1.0, ""))
+    for i in range(3):  # burst 2, 3 hours later
+        rows.append((100 + i, base + pd.Timedelta(hours=3, minutes=i), 7,
+                     "click", 2.0, ""))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "payload"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(src))
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=100)
+    sess = sessionize(stream, gap_minutes=30)
+    run_to_memory(sess, "sessions_out", mode="append")
+    got = spark.table("sessions_out").toPandas()
+    # the first burst closes when the second arrives (gap exceeded);
+    # the second stays open (no further data) -> exactly one closed session
+    assert len(got) == 1
+    assert got.iloc[0]["n_events"] == 5
+    assert got.iloc[0]["sum_value"] == 5.0

@@ -207,7 +207,10 @@ def main():
                                                   "tests", "vectors", "gie_vectors.json"))
     ap.add_argument("--files", nargs="*", default=["builtins.gie", "more_builtins.gie",
                                                    "unitconvert.gie", "axisswap.gie",
-                                                   "ellipsoid.gie", "4D-API_cs2cs-style.gie"])
+                                                   "ellipsoid.gie", "4D-API_cs2cs-style.gie",
+                                                   "guyou.gie", "peirce_q.gie",
+                                                   "adams_hemi.gie", "adams_ws1.gie",
+                                                   "adams_ws2.gie"])
     args = ap.parse_args()
 
     SUPPORTED_OPS.update(_supported_ops())
