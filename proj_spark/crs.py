@@ -16,7 +16,7 @@ from __future__ import annotations
 import re
 
 from .ops import Operator, Pipeline, PushPop, create_operator
-from .kernels import cyl, conic, cartgeo, datum, azimuthal, gridshift, pseudocyl, misc2, misc3, dgg, meta, interrupted, tail1, tail2, tail3, tail4, tail5, complexpoly, space, adams  # noqa: F401 (registration)
+from .kernels import cyl, conic, cartgeo, datum, azimuthal, gridshift, pseudocyl, misc2, misc3, dgg, meta, interrupted, tail1, tail2, tail3, tail4, tail5, tail6, complexpoly, space, adams  # noqa: F401 (registration)
 
 
 def parse_proj_params(s: str) -> list[dict]:

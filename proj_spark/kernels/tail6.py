@@ -1,0 +1,662 @@
+"""Final registry batch: sch, horner, unified gridshift, xyzgridshift,
+deformation, tinshift.
+
+Vectorized numpy reimplementations of:
+- sch.cpp (JPL Spherical Cross-track Height for SAR: peg-point rotation to
+  a local osculating sphere)
+- transformations/horner.cpp (Poder/Engsager 2D Horner polynomials, real
+  and complex, with explicit or iterative inverses)
+- transformations/gridshift.cpp (unified n-band geographic grid shift:
+  horizontal arcsec + vertical metres; iterative inverse, MAX_ITERATIONS
+  10 :601)
+- transformations/xyzgridshift.cpp (geocentric-domain translation grid)
+- transformations/deformation.cpp (ENU velocity-grid integration
+  X_out = X_in + dt * DX in cartesian space)
+- transformations/tinshift.cpp (triangulated irregular network shift,
+  barycentric interpolation)
+
+Grid-backed operators read the engine's synthetic grid registry
+(kernels/gridshift.py get_grid) — the reference's grid FILES (gsb/gtx/tif)
+are external data and out of scope; TINs come from an embedded registry the
+same way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import (
+    Operator,
+    register,
+    parse_angle,
+    U_RADIANS,
+    U_CLASSIC,
+    U_CARTESIAN,
+    U_WHATEVER,
+)
+from .core import DEG_TO_RAD, RAD_TO_DEG
+from .gridshift import get_grid
+
+
+@register
+class Sch(Operator):
+    """Spherical Cross-track Height (reference sch.cpp); +plat_0 +plon_0
+    +phdg_0 [+h_0]."""
+
+    name = "sch"
+    left = U_RADIANS
+    right = U_CLASSIC
+
+    def setup(self):
+        from .cartgeo import Cart
+        p = self.params
+        for k in ("plat_0", "plon_0", "phdg_0"):
+            if k not in p:
+                raise ValueError(f"sch requires +{k}")
+        self.plat = parse_angle(p["plat_0"]) * DEG_TO_RAD
+        self.plon = parse_angle(p["plon_0"]) * DEG_TO_RAD
+        self.phdg = parse_angle(p["phdg_0"]) * DEG_TO_RAD
+        self.h0 = float(p.get("h_0", 0.0))
+        ell_keys = ("ellps", "a", "b", "rf", "f", "es", "R", "datum")
+        self.cart = Cart({"proj": "cart", "_no_datum_shift": True,
+                          **{k: p[k] for k in ell_keys if k in p}})
+        clt, slt = np.cos(self.plat), np.sin(self.plat)
+        clo, slo = np.cos(self.plon), np.sin(self.plon)
+        es, a = self.ell.es, self.ell.a
+        temp = np.sqrt(1.0 - es * slt * slt)
+        reast = a / temp
+        rnorth = a * (1.0 - es) / temp ** 3
+        chdg, shdg = np.cos(self.phdg), np.sin(self.phdg)
+        self.rcurv = self.h0 + (reast * rnorth) / (
+            reast * chdg * chdg + rnorth * shdg * shdg)
+        # rotation matrix (sch.cpp transMat)
+        self.M = np.array([
+            [clt * clo, -shdg * slo - slt * clo * chdg,
+             slo * chdg - slt * clo * shdg],
+            [clt * slo, clo * shdg - slt * slo * chdg,
+             -clo * chdg - slt * slo * shdg],
+            [slt, clt * chdg, clt * shdg]])
+        X, Y, Z, _ = self.cart._fwd(np.array([self.plon]),
+                                    np.array([self.plat]),
+                                    np.array([self.h0]), np.zeros(1))
+        self.off = np.array([float(X[0]) - self.rcurv * clt * clo,
+                             float(Y[0]) - self.rcurv * clt * slo,
+                             float(Z[0]) - self.rcurv * slt])
+
+    def _fwd(self, lam, phi, z, t):
+        X, Y, Z, _ = self.cart._fwd(lam, phi, z, t)
+        X = X - self.off[0]
+        Y = Y - self.off[1]
+        Z = Z - self.off[2]
+        M = self.M
+        lx = M[0, 0] * X + M[1, 0] * Y + M[2, 0] * Z
+        ly = M[0, 1] * X + M[1, 1] * Y + M[2, 1] * Z
+        lz = M[0, 2] * X + M[1, 2] * Y + M[2, 2] * Z
+        r = np.sqrt(lx * lx + ly * ly + lz * lz)
+        lam_l = np.arctan2(ly, lx)
+        phi_l = np.arcsin(np.clip(lz / r, -1.0, 1.0))
+        h = r - self.rcurv
+        scale = self.rcurv / self.ell.a
+        return lam_l * scale, phi_l * scale, h, t
+
+    def _inv(self, s, c, h, t):
+        scale = self.ell.a / self.rcurv
+        lam_l = s * scale
+        phi_l = c * scale
+        r = self.rcurv + h
+        lx = r * np.cos(phi_l) * np.cos(lam_l)
+        ly = r * np.cos(phi_l) * np.sin(lam_l)
+        lz = r * np.sin(phi_l)
+        M = self.M
+        X = M[0, 0] * lx + M[0, 1] * ly + M[0, 2] * lz + self.off[0]
+        Y = M[1, 0] * lx + M[1, 1] * ly + M[1, 2] * lz + self.off[1]
+        Z = M[2, 0] * lx + M[2, 1] * ly + M[2, 2] * lz + self.off[2]
+        lam, phi, z, _ = self.cart._inv(X, Y, Z, t)
+        return lam, phi, z, t
+
+
+def _horner_real_eval(order, cx, cy, e, n):
+    """double_real_horner_eval (horner.cpp:118-145), vectorized over
+    points; reverse summation for numerical stability."""
+    sz = (order + 1) * (order + 2) // 2
+    ix = sz
+    iy = sz
+    iy -= 1
+    N = np.full_like(e, cy[iy])
+    ix -= 1
+    E = np.full_like(e, cx[ix])
+    for r in range(order, 0, -1):
+        iy -= 1
+        u = np.full_like(e, cy[iy])
+        ix -= 1
+        v = np.full_like(e, cx[ix])
+        for _c in range(order, r - 1, -1):
+            iy -= 1
+            u = n * u + cy[iy]
+            ix -= 1
+            v = e * v + cx[ix]
+        N = e * N + u
+        E = n * E + v
+    return E, N
+
+def _horner_real_eval_offset1(order, cx, cy, e, n):
+    """order_offset=1 variant used by the iterative inverse Jacobian."""
+    sz = (order + 1) * (order + 2) // 2
+    ix = sz
+    iy = sz
+    iy -= 1
+    N = np.full_like(e, cy[iy])
+    ix -= 1
+    E = np.full_like(e, cx[ix])
+    for r in range(order, 1, -1):
+        iy -= 1
+        u = np.full_like(e, cy[iy])
+        ix -= 1
+        v = np.full_like(e, cx[ix])
+        for _c in range(order, r - 1, -1):
+            iy -= 1
+            u = n * u + cy[iy]
+            ix -= 1
+            v = e * v + cx[ix]
+        N = e * N + u
+        E = n * E + v
+    return E, N
+
+
+def _horner_single_eval_offset1(order, cx, x):
+    i = order + 1
+    i -= 1
+    u = np.full_like(x, cx[i])
+    for _r in range(order, 1, -1):
+        i -= 1
+        u = x * u + cx[i]
+    return u
+
+
+def _complex_eval(order, c, e, n, offset=0):
+    """complex_horner_eval (horner.cpp:149-165)."""
+    sz = 2 * order + 2
+    i = sz
+    i -= 1
+    E = np.full_like(e, c[i])
+    i -= 1
+    N = np.full_like(e, c[i])
+    while i > offset * 2:
+        i -= 1
+        w = n * E + e * N + c[i]
+        i -= 1
+        N = n * N - e * E + c[i]
+        E = w
+    return E, N
+
+
+@register
+class Horner(Operator):
+    """Poder/Engsager 2D Horner polynomial transformation (reference
+    transformations/horner.cpp); +deg plus +fwd_u/+fwd_v/+inv_u/+inv_v (or
+    complex +fwd_c/+inv_c with +uneg/+vneg), +fwd_origin/+inv_origin,
+    +range (default 500000), +inv_tolerance (default 0.001)."""
+
+    name = "horner"
+    left = U_WHATEVER
+    right = U_WHATEVER
+
+    @staticmethod
+    def _coefs(p, key, n):
+        if key not in p:
+            return None
+        vals = [float(v) for v in str(p[key]).split(",")]
+        if len(vals) != n:
+            raise ValueError(f"horner +{key} needs {n} coefficients")
+        return np.array(vals)
+
+    def setup(self):
+        p = self.params
+        if "deg" not in p:
+            raise ValueError("horner requires +deg")
+        self.deg = int(p["deg"])
+        if not 0 <= self.deg <= 10000:
+            raise ValueError("horner +deg out of range")
+        self.range = float(p.get("range", 500000.0))
+        self.tol = float(p.get("inv_tolerance", 0.001))
+        self.complex_poly = "fwd_c" in p or "inv_c" in p
+        if self.complex_poly:
+            n = 2 * self.deg + 2
+            self.fwd_c = self._coefs(p, "fwd_c", n)
+            self.inv_c = self._coefs(p, "inv_c", n)
+            if self.fwd_c is None:
+                raise ValueError("horner requires +fwd_c")
+            self.uneg = "uneg" in p
+            self.vneg = "vneg" in p
+            self.explicit_inv = self.inv_c is not None or "inv_origin" in p
+        else:
+            n = (self.deg + 1) * (self.deg + 2) // 2
+            self.fwd_u = self._coefs(p, "fwd_u", n)
+            self.fwd_v = self._coefs(p, "fwd_v", n)
+            self.inv_u = self._coefs(p, "inv_u", n)
+            self.inv_v = self._coefs(p, "inv_v", n)
+            if self.fwd_u is None or self.fwd_v is None:
+                raise ValueError("horner requires +fwd_u and +fwd_v")
+            self.explicit_inv = (self.inv_u is not None
+                                 or self.inv_v is not None
+                                 or "inv_origin" in p)
+        self.fwd_origin = self._coefs(p, "fwd_origin", 2)
+        if self.fwd_origin is None:
+            self.fwd_origin = np.zeros(2)
+        self.inv_origin = self._coefs(p, "inv_origin", 2)
+        if self.inv_origin is None:
+            self.inv_origin = np.zeros(2)
+
+    def _range_guard(self, e, n, u, v):
+        bad = (np.abs(n) > self.range) | (np.abs(e) > self.range)
+        return np.where(bad, np.nan, u), np.where(bad, np.nan, v)
+
+    def _fwd(self, x, y, z, t):
+        e = x - self.fwd_origin[0]
+        n = y - self.fwd_origin[1]
+        if self.complex_poly:
+            if self.uneg:
+                e = -e
+            if self.vneg:
+                n = -n
+            E, N = _complex_eval(self.deg, self.fwd_c, e, n)
+        else:
+            E, N = _horner_real_eval(self.deg, self.fwd_u, self.fwd_v, e, n)
+        E, N = self._range_guard(e, n, E, N)
+        return E, N, z, t
+
+    def _inv(self, x, y, z, t):
+        if self.explicit_inv:
+            e = x - self.inv_origin[0]
+            n = y - self.inv_origin[1]
+            if self.complex_poly:
+                if self.uneg:
+                    e = -e
+                if self.vneg:
+                    n = -n
+                E, N = _complex_eval(self.deg, self.inv_c, e, n)
+            else:
+                E, N = _horner_real_eval(self.deg, self.inv_u, self.inv_v,
+                                         e, n)
+            E, N = self._range_guard(e, n, E, N)
+            return E, N, z, t
+        # iterative inverse against the forward polynomial
+        # (horner.cpp real_iterative_inverse_impl / complex variant)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if self.complex_poly:
+                dN = y - self.fwd_c[0]
+                dE = x - self.fwd_c[1]
+                w0r = np.zeros_like(x)  # N component
+                w0i = np.zeros_like(x)  # E component
+                for _ in range(32):
+                    Ej, Nj = _complex_eval(self.deg, self.fwd_c, w0i, w0r,
+                                           offset=1)
+                    det2 = Nj * Nj + Ej * Ej
+                    w1r = (dN * Nj + dE * Ej) / det2
+                    w1i = (dE * Nj - dN * Ej) / det2
+                    conv = (np.abs(w1r - w0r) < self.tol) & \
+                        (np.abs(w1i - w0i) < self.tol)
+                    w0r, w0i = w1r, w1i
+                    if np.all(conv):
+                        break
+                E = np.where(self.uneg, -w0i, w0i) if self.uneg else w0i
+                N = np.where(self.vneg, -w0r, w0r) if self.vneg else w0r
+                return (E + self.fwd_origin[0], N + self.fwd_origin[1], z, t)
+            de = x - self.fwd_u[0]
+            dn = y - self.fwd_v[0]
+            x0 = np.zeros_like(x)
+            y0 = np.zeros_like(x)
+            for _ in range(32):
+                Mb, Mc = _horner_real_eval_offset1(self.deg, self.fwd_u,
+                                                   self.fwd_v, x0, y0)
+                Ma = _horner_single_eval_offset1(self.deg, self.fwd_u, x0)
+                Md = _horner_single_eval_offset1(self.deg, self.fwd_v, y0)
+                idet = 1.0 / (Ma * Md - Mb * Mc)
+                x1 = idet * (Md * de - Mb * dn)
+                y1 = idet * (Ma * dn - Mc * de)
+                conv = (np.abs(x1 - x0) < self.tol) & \
+                    (np.abs(y1 - y0) < self.tol)
+                x0, y0 = x1, y1
+                if np.all(conv):
+                    break
+            return (x0 + self.fwd_origin[0], y0 + self.fwd_origin[1], z, t)
+
+
+@register
+class GridshiftUnified(Operator):
+    """Unified n-band grid shift (reference
+    transformations/gridshift.cpp): horizontal offsets in arcsec +
+    vertical offset in metres from one grid; iterative inverse
+    (MAX_ITERATIONS 10, gridshift.cpp:601). Grids come from the synthetic
+    registry; ``+no_z_transform`` limits to the horizontal bands."""
+
+    name = "gridshift"
+    left = U_RADIANS
+    right = U_RADIANS
+
+    def setup(self):
+        self.grid = get_grid(str(self.params.get("grids", "synthetic_world")))
+        self.no_z = "no_z_transform" in self.params
+        self.multiplier = float(self.params.get("multiplier", 1.0))
+
+    def _fwd(self, lam, phi, z, t):
+        dlon_as, dlat_as, dz = self.grid.interp(lam * RAD_TO_DEG,
+                                                phi * RAD_TO_DEG)
+        s = DEG_TO_RAD / 3600.0
+        out_z = z if self.no_z else z + self.multiplier * dz
+        return lam + dlon_as * s, phi + dlat_as * s, out_z, t
+
+    def _inv(self, lam, phi, z, t):
+        s = DEG_TO_RAD / 3600.0
+        lam_c, phi_c = lam.copy(), phi.copy()
+        dz = np.zeros_like(z)
+        for _ in range(10):
+            dlon_as, dlat_as, dz = self.grid.interp(lam_c * RAD_TO_DEG,
+                                                    phi_c * RAD_TO_DEG)
+            lam_c = lam - dlon_as * s
+            phi_c = phi - dlat_as * s
+        out_z = z if self.no_z else z - self.multiplier * dz
+        return lam_c, phi_c, out_z, t
+
+
+@register
+class Xyzgridshift(Operator):
+    """Geocentric-domain grid shift (reference
+    transformations/xyzgridshift.cpp): per-point (dx, dy, dz) metre
+    translations looked up at the geodetic position; grid values come from
+    the synthetic registry's three bands. ``+grid_ref=output_crs`` runs
+    the iterative adjustment (xyzgridshift.cpp iterative_adjustment)."""
+
+    name = "xyzgridshift"
+    left = U_CARTESIAN
+    right = U_CARTESIAN
+
+    def setup(self):
+        from .cartgeo import Cart
+        p = self.params
+        self.grid = get_grid(str(p.get("grids", "synthetic_world")))
+        self.multiplier = float(p.get("multiplier", 1.0))
+        self.grid_ref_output = str(p.get("grid_ref", "input_crs")) == \
+            "output_crs"
+        ell_keys = ("ellps", "a", "b", "rf", "f", "es", "R", "datum")
+        self.cart = Cart({"proj": "cart", "_no_datum_shift": True,
+                          **{k: p[k] for k in ell_keys if k in p}})
+
+    def _delta(self, X, Y, Z, t):
+        lam, phi, _, _ = self.cart._inv(X, Y, Z, t)
+        dx, dy, dz = self.grid.interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
+        return (dx * self.multiplier, dy * self.multiplier,
+                dz * self.multiplier)
+
+    def _apply(self, X, Y, Z, t, factor):
+        if not self.grid_ref_output:
+            dx, dy, dz = self._delta(X, Y, Z, t)
+            return X + factor * dx, Y + factor * dy, Z + factor * dz
+        # lookup position is in the output frame: iterate
+        oX, oY, oZ = X, Y, Z
+        for _ in range(10):
+            dx, dy, dz = self._delta(oX, oY, oZ, t)
+            nX = X + factor * dx
+            nY = Y + factor * dy
+            nZ = Z + factor * dz
+            err = (nX - oX) ** 2 + (nY - oY) ** 2 + (nZ - oZ) ** 2
+            oX, oY, oZ = nX, nY, nZ
+            if np.all(err[np.isfinite(err)] < 1e-10):
+                break
+        return oX, oY, oZ
+
+    def _fwd(self, X, Y, Z, t):
+        if self.grid_ref_output:
+            oX, oY, oZ = self._apply(X, Y, Z, t, 1.0)
+        else:
+            dx, dy, dz = self._delta(X, Y, Z, t)
+            oX, oY, oZ = X + dx, Y + dy, Z + dz
+        return oX, oY, oZ, t
+
+    def _inv(self, X, Y, Z, t):
+        if not self.grid_ref_output:
+            oX, oY, oZ = self._apply(X, Y, Z, t, -1.0)
+        else:
+            dx, dy, dz = self._delta(X, Y, Z, t)
+            oX, oY, oZ = X - dx, Y - dy, Z - dz
+        return oX, oY, oZ, t
+
+
+@register
+class Deformation(Operator):
+    """Kinematic deformation-velocity shift (reference
+    transformations/deformation.cpp): X_out = X_in + dt * V with V an ENU
+    velocity field (synthetic registry bands read as mm/yr) rotated to
+    cartesian; +dt or (+t_epoch and per-point t); inverse iterates
+    (deformation.cpp:MAX_ITERATIONS 10)."""
+
+    name = "deformation"
+    left = U_CARTESIAN
+    right = U_CARTESIAN
+
+    def setup(self):
+        from .cartgeo import Cart
+        p = self.params
+        if "dt" not in p and "t_epoch" not in p:
+            raise ValueError("deformation needs +dt or +t_epoch")
+        self.dt = float(p["dt"]) if "dt" in p else None
+        self.t_epoch = float(p["t_epoch"]) if "t_epoch" in p else None
+        self.grid = get_grid(str(p.get("grids", "synthetic_world")))
+        ell_keys = ("ellps", "a", "b", "rf", "f", "es", "R", "datum")
+        self.cart = Cart({"proj": "cart", "_no_datum_shift": True,
+                          **{k: p[k] for k in ell_keys if k in p}})
+
+    def _dt_of(self, t):
+        if self.dt is not None:
+            return self.dt
+        return t - self.t_epoch
+
+    def _velocity(self, X, Y, Z, t):
+        lam, phi, _, _ = self.cart._inv(X, Y, Z, t)
+        ve, vn, vu = self.grid.interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
+        ve, vn, vu = ve / 1000.0, vn / 1000.0, vu / 1000.0  # mm/yr -> m/yr
+        sp, cp = np.sin(phi), np.cos(phi)
+        sl, cl = np.sin(lam), np.cos(lam)
+        # ENU -> XYZ (deformation.cpp:147-153)
+        vx = -sp * cl * vn - sl * ve + cp * cl * vu
+        vy = -sp * sl * vn + cl * ve + cp * sl * vu
+        vz = cp * vn + sp * vu
+        return vx, vy, vz
+
+    def _fwd(self, X, Y, Z, t):
+        dt = self._dt_of(t)
+        vx, vy, vz = self._velocity(X, Y, Z, t)
+        return X + dt * vx, Y + dt * vy, Z + dt * vz, t
+
+    def _inv(self, X, Y, Z, t):
+        dt = self._dt_of(t)
+        vx, vy, vz = self._velocity(X, Y, Z, t)
+        z0 = vz
+        oX = X - dt * vx
+        oY = Y - dt * vy
+        oZ = Z + dt * vz
+        for _ in range(10):
+            vx, vy, vz = self._velocity(oX, oY, oZ, t)
+            difx = oX + dt * vx - X
+            dify = oY + dt * vy - Y
+            difz = oZ - dt * vz - Z
+            oX = oX + difx
+            oY = oY + dify
+            oZ = oZ + difz
+            h = np.hypot(difx, dify)
+            if np.all(h[np.isfinite(h)] <= 1e-8):
+                break
+        oZ = Z - dt * z0
+        return oX, oY, oZ, t
+
+
+# embedded synthetic triangulations (the reference's tinshift reads a JSON
+# master file, src/transformations/tinshift.hpp; external files are out of
+# scope so the registry carries the same structure inline)
+_TINS = {
+    "synthetic_tin": {
+        # vertices: (lon_deg, lat_deg, dlon_deg, dlat_deg, dz_m)
+        "vertices": [
+            (0.0, 0.0, 1e-4, -2e-4, 0.5),
+            (2.0, 0.0, 2e-4, 1e-4, 0.7),
+            (2.0, 2.0, -1e-4, 2e-4, 0.2),
+            (0.0, 2.0, 3e-4, -1e-4, -0.3),
+            (1.0, 3.0, 0.0, 5e-4, 1.0),
+        ],
+        "triangles": [(0, 1, 2), (0, 2, 3), (3, 2, 4)],
+    },
+}
+
+
+@register
+class Tinshift(Operator):
+    """Triangulated-network shift (reference
+    transformations/tinshift.cpp/_impl.hpp): locate the triangle containing
+    each point (the reference uses its quadtree, quadtree.hpp:85-123; the
+    registry TINs are small so a vectorized all-triangles barycentric test
+    is the same math without the index), barycentric-interpolate the vertex
+    offsets, poison outside the triangulation."""
+
+    name = "tinshift"
+    left = U_RADIANS
+    right = U_RADIANS
+
+    def setup(self):
+        name = str(self.params.get("file", self.params.get("tins",
+                                                           "synthetic_tin")))
+        if name not in _TINS:
+            raise ValueError(f"tinshift: unknown triangulation {name}")
+        tin = _TINS[name]
+        v = np.array(tin["vertices"], dtype=np.float64)
+        self.vx = v[:, 0]
+        self.vy = v[:, 1]
+        self.dlon = v[:, 2]
+        self.dlat = v[:, 3]
+        self.dz = v[:, 4]
+        self.tris = np.array(tin["triangles"], dtype=np.int64)
+
+    def _interp(self, lon_deg, lat_deg):
+        n = lon_deg.shape[0]
+        out_dlon = np.full(n, np.nan)
+        out_dlat = np.full(n, np.nan)
+        out_dz = np.full(n, np.nan)
+        found = np.zeros(n, dtype=bool)
+        for i, j, k in self.tris:
+            x1, y1 = self.vx[i], self.vy[i]
+            x2, y2 = self.vx[j], self.vy[j]
+            x3, y3 = self.vx[k], self.vy[k]
+            det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+            l1 = ((y2 - y3) * (lon_deg - x3) + (x3 - x2) * (lat_deg - y3)) \
+                / det
+            l2 = ((y3 - y1) * (lon_deg - x3) + (x1 - x3) * (lat_deg - y3)) \
+                / det
+            l3 = 1.0 - l1 - l2
+            eps = -1e-12
+            inside = (~found) & (l1 >= eps) & (l2 >= eps) & (l3 >= eps)
+            if not np.any(inside):
+                continue
+            out_dlon = np.where(inside, l1 * self.dlon[i] + l2 * self.dlon[j]
+                                + l3 * self.dlon[k], out_dlon)
+            out_dlat = np.where(inside, l1 * self.dlat[i] + l2 * self.dlat[j]
+                                + l3 * self.dlat[k], out_dlat)
+            out_dz = np.where(inside, l1 * self.dz[i] + l2 * self.dz[j]
+                              + l3 * self.dz[k], out_dz)
+            found |= inside
+        return out_dlon, out_dlat, out_dz
+
+    def _fwd(self, lam, phi, z, t):
+        dlon, dlat, dz = self._interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
+        return (lam + dlon * DEG_TO_RAD, phi + dlat * DEG_TO_RAD,
+                z + dz, t)
+
+    def _inv(self, lam, phi, z, t):
+        lam_c, phi_c = lam.copy(), phi.copy()
+        dz = np.zeros_like(z)
+        for _ in range(10):
+            dlon, dlat, dz = self._interp(lam_c * RAD_TO_DEG,
+                                          phi_c * RAD_TO_DEG)
+            lam_c = lam - dlon * DEG_TO_RAD
+            phi_c = phi - dlat * DEG_TO_RAD
+        return lam_c, phi_c, z - dz, t
+
+
+# embedded deformation models (the reference's defmodel reads a JSON
+# master file, data/deformation_model.schema.json + defmodel.hpp; external
+# files are out of scope so the registry carries the same structure)
+_DEFMODELS = {
+    "synthetic_model": {
+        "horizontal_offset_unit": "metre",
+        "vertical_offset_unit": "metre",
+        "components": [
+            {"grid": "synthetic_world",       # ENU mm/yr from the registry
+             "displacement_type": "3d",
+             "time_function": {"type": "velocity", "epoch": 2010.0}},
+        ],
+    },
+}
+
+
+@register
+class Defmodel(Operator):
+    """Deformation-model chain (reference transformations/defmodel.cpp +
+    data/deformation_model.schema.json): per-component displacement grids
+    scaled by a time function and applied in ENU. The registry carries the
+    master-file structure inline (+model= names a registry entry); the
+    velocity time function is (t - epoch) like the schema's 'velocity'
+    type. Cartesian domain like the reference (geocentric in/out)."""
+
+    name = "defmodel"
+    left = U_CARTESIAN
+    right = U_CARTESIAN
+
+    def setup(self):
+        from .cartgeo import Cart
+        p = self.params
+        name = str(p.get("model", "synthetic_model"))
+        if name not in _DEFMODELS:
+            raise ValueError(f"defmodel: unknown model {name}")
+        self.model = _DEFMODELS[name]
+        ell_keys = ("ellps", "a", "b", "rf", "f", "es", "R", "datum")
+        self.cart = Cart({"proj": "cart", "_no_datum_shift": True,
+                          **{k: p[k] for k in ell_keys if k in p}})
+
+    def _shift(self, X, Y, Z, t):
+        lam, phi, _, _ = self.cart._inv(X, Y, Z, t)
+        ve_t = np.zeros_like(X)
+        vn_t = np.zeros_like(X)
+        vu_t = np.zeros_like(X)
+        for comp in self.model["components"]:
+            ve, vn, vu = get_grid(comp["grid"]).interp(lam * RAD_TO_DEG,
+                                                       phi * RAD_TO_DEG)
+            tf = comp["time_function"]
+            if tf["type"] == "velocity":
+                factor = t - tf["epoch"]
+            elif tf["type"] == "constant":
+                factor = np.ones_like(t)
+            elif tf["type"] == "step":
+                factor = (t >= tf["epoch"]).astype(np.float64)
+            else:
+                raise ValueError(f"unsupported time function {tf['type']}")
+            ve_t = ve_t + factor * ve / 1000.0
+            vn_t = vn_t + factor * vn / 1000.0
+            if comp["displacement_type"] in ("3d", "vertical"):
+                vu_t = vu_t + factor * vu / 1000.0
+        sp, cp = np.sin(phi), np.cos(phi)
+        sl, cl = np.sin(lam), np.cos(lam)
+        dx = -sp * cl * vn_t - sl * ve_t + cp * cl * vu_t
+        dy = -sp * sl * vn_t + cl * ve_t + cp * sl * vu_t
+        dz = cp * vn_t + sp * vu_t
+        return dx, dy, dz
+
+    def _fwd(self, X, Y, Z, t):
+        dx, dy, dz = self._shift(X, Y, Z, t)
+        return X + dx, Y + dy, Z + dz, t
+
+    def _inv(self, X, Y, Z, t):
+        oX, oY, oZ = X.copy(), Y.copy(), Z.copy()
+        for _ in range(10):
+            dx, dy, dz = self._shift(oX, oY, oZ, t)
+            oX = X - dx
+            oY = Y - dy
+            oZ = Z - dz
+        return oX, oY, oZ, t
