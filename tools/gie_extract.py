@@ -210,7 +210,8 @@ def main():
                                                    "ellipsoid.gie", "4D-API_cs2cs-style.gie",
                                                    "guyou.gie", "peirce_q.gie",
                                                    "adams_hemi.gie", "adams_ws1.gie",
-                                                   "adams_ws2.gie"])
+                                                   "adams_ws2.gie",
+                                                   "GDA.gie"])
     args = ap.parse_args()
 
     SUPPORTED_OPS.update(_supported_ops())
