@@ -347,17 +347,69 @@ class GeodSolver:
         # equatorial shortcut: both on equator and lam12 <= (1-f)*pi
         equatorial = (sbet1 == 0) & (sbet2 == 0) & (lam <= self.f1 * np.pi)
 
-        # bisection on alpha1 in (0, pi): lam12(alpha1) monotonic increasing
+        # root-find on alpha1 in (0, pi): lam12(alpha1) monotonic
+        # increasing. Illinois method (regula falsi + stale-side halving):
+        # bracket-safe like the original bisection but superlinear, so a
+        # batch converges in ~10-20 evaluations instead of 52.
         lo = np.full_like(lam, 1e-12)
         hi = np.full_like(lam, np.pi - 1e-12)
-        for _ in range(n_bisect):
-            mid = 0.5 * (lo + hi)
-            l12, _, _, _, _ = self._lambda12(sbet1, cbet1, sbet2, cbet2,
-                                             np.sin(mid), np.cos(mid))
-            too_small = l12 < lam
-            lo = np.where(too_small, mid, lo)
-            hi = np.where(too_small, hi, mid)
+        f_lo, _, _, _, _ = self._lambda12(sbet1, cbet1, sbet2, cbet2,
+                                          np.sin(lo), np.cos(lo))
+        f_hi, _, _, _, _ = self._lambda12(sbet1, cbet1, sbet2, cbet2,
+                                          np.sin(hi), np.cos(hi))
+        f_lo = f_lo - lam
+        f_hi = f_hi - lam
+        n_pts = lam.shape[0] if lam.ndim else 1
         alp1 = 0.5 * (lo + hi)
+        best_f = np.full_like(lam, np.inf)
+        # active-set state (compressed to the unconverged tail as the bulk
+        # finishes — each lambda12 evaluation costs O(active), so the slow
+        # 5% no longer drags full-batch evaluations)
+        idx = np.arange(n_pts)
+        a_lo, a_hi, a_flo, a_fhi = lo, hi, f_lo, f_hi
+        a_sb1, a_cb1, a_sb2, a_cb2, a_lam = sbet1, cbet1, sbet2, cbet2, lam
+        a_best = alp1.copy()
+        a_bestf = best_f.copy()
+        side = np.zeros_like(a_lam)
+        for it in range(n_bisect):
+            if idx.size == 0:
+                break
+            with np.errstate(invalid="ignore", divide="ignore"):
+                denom = a_fhi - a_flo
+                cand = a_hi - a_fhi * (a_hi - a_lo) / denom
+            bad = ~np.isfinite(cand) | (cand <= a_lo) | (cand >= a_hi)
+            cand = np.where(bad, 0.5 * (a_lo + a_hi), cand)
+            l12, _, _, _, _ = self._lambda12(a_sb1, a_cb1, a_sb2, a_cb2,
+                                             np.sin(cand), np.cos(cand))
+            f_c = l12 - a_lam
+            improved = np.abs(f_c) < a_bestf
+            a_best = np.where(improved, cand, a_best)
+            a_bestf = np.where(improved, np.abs(f_c), a_bestf)
+            too_small = f_c < 0
+            a_lo = np.where(too_small, cand, a_lo)
+            a_hi = np.where(too_small, a_hi, cand)
+            # Illinois: halve the stale endpoint's f on a repeated side
+            a_flo = np.where(too_small, f_c,
+                             np.where(side > 0, 0.5 * a_flo, a_flo))
+            a_fhi = np.where(too_small,
+                             np.where(side < 0, 0.5 * a_fhi, a_fhi), f_c)
+            side = np.where(too_small, -1.0, 1.0)
+            # ~1e-15 rad lam residual (6 nm) / 5-ulp bracket: same effective
+            # resolution as the previous 52-step bisection
+            done = (np.abs(f_c) < 1e-15) | ((a_hi - a_lo) < 1e-15)
+            if np.any(done):
+                alp1[idx] = a_best
+                best_f[idx] = a_bestf
+                keep = ~done
+                idx = idx[keep]
+                a_lo, a_hi = a_lo[keep], a_hi[keep]
+                a_flo, a_fhi = a_flo[keep], a_fhi[keep]
+                a_sb1, a_cb1 = a_sb1[keep], a_cb1[keep]
+                a_sb2, a_cb2 = a_sb2[keep], a_cb2[keep]
+                a_lam, side = a_lam[keep], side[keep]
+                a_best, a_bestf = a_best[keep], a_bestf[keep]
+        if idx.size:
+            alp1[idx] = a_best
         salp1, calp1 = np.sin(alp1), np.cos(alp1)
         _, s12, salp2, calp2, internals = self._lambda12(
             sbet1, cbet1, sbet2, cbet2, salp1, calp1)
