@@ -97,67 +97,77 @@ _UDF_CACHE: dict = {}
 
 
 def _get_udfs(F):
-    """Define the pandas UDFs once per process — a steady-state job defines
-    its UDFs once; re-creating them per run forces fresh codegen/JIT."""
+    """One FUSED pandas UDF per pipeline (SURVEY.md §1.3): all four kernel
+    stages (webmerc, Krueger UTM, Karney distance, S2 cell) execute in a
+    single Arrow crossing — separate withColumn UDFs would serialize each
+    batch JVM->Python->JVM four times. Defined once per process so the
+    steady-state plan/codegen is reused."""
     if _UDF_CACHE:
-        return _UDF_CACHE["dist_ref"], _UDF_CACHE["cell12"]
+        return _UDF_CACHE["fused"]
     from proj_spark.kernels import s2cell
     from proj_spark.kernels import geodesic as geod
     from proj_spark.kernels.core import Ellipsoid
+    from proj_spark.crs import create
 
     wgs84 = Ellipsoid(6378137.0, 6378137.0 * (1 - 1 / 298.257223563))
+    webmerc = create("+proj=webmerc +ellps=WGS84")
+    utm32 = create("+proj=utm +zone=32 +ellps=GRS80")
 
-    @F.pandas_udf("double")
-    def dist_ref(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    @F.pandas_udf("struct<x:double,y:double,ux:double,uy:double,"
+                  "dist:double,cell:long>")
+    def fused(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
         r = np.pi / 180.0
         lo = lon.to_numpy(np.float64) * r
         la = lat.to_numpy(np.float64) * r
+        x, y, _, _ = webmerc.fwd(lo, la)
+        ux, uy, _, _ = utm32.fwd(lo, la)
         s, _, _ = geod.solver(wgs84).inverse(
             np.zeros_like(lo), np.zeros_like(la), lo, la)
-        return pd.Series(s)
+        cell = s2cell.lonlat_to_cell(lon.to_numpy(np.float64),
+                                     lat.to_numpy(np.float64), 12)
+        return pd.DataFrame({"x": x, "y": y, "ux": ux, "uy": uy,
+                             "dist": s, "cell": cell})
 
-    @F.pandas_udf("long")
-    def cell12(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(s2cell.lonlat_to_cell(
-            lon.to_numpy(np.float64), lat.to_numpy(np.float64), 12))
-
-    _UDF_CACHE["dist_ref"] = dist_ref
-    _UDF_CACHE["cell12"] = cell12
-    return dist_ref, cell12
+    _UDF_CACHE["fused"] = fused
+    return fused
 
 
 def _run_pipeline(spark, joins, apply_transform, create, F):
     from proj_spark.pagesgen import extract_from_table_cte
     EXTRACT_CTE = extract_from_table_cte("pages_tbl")
-    dist_ref, cell12 = _get_udfs(F)
+    fused = _get_udfs(F)
 
-    # 1. extract -> kernel transforms (fused pandas-UDF stages: webmerc +
-    # Krueger UTM + Karney geodesic distance-to-reference) -> s2 -> tiles
-    ext = spark.sql(f"WITH {EXTRACT_CTE} SELECT url, lat, lon FROM extracted "
-                    "WHERE lat IS NOT NULL AND ABS(lat) <= 85.06")
-    ext = apply_transform(ext, create("+proj=webmerc +ellps=WGS84"), "lon", "lat")
-    ext = apply_transform(ext, create("+proj=utm +zone=32 +ellps=GRS80"),
-                          "lon", "lat", out_cols=("ux", "uy"))
-    ext = ext.withColumn("dist_origin", dist_ref("lon", "lat"))
+    # 0. extraction runs ONCE: both downstream jobs (tile aggregation and
+    # the PIP join) consume the persisted narrow (url, lat, lon) relation
+    # instead of re-decoding the wide pages parquet (text is ~95% of the
+    # bytes) — the same single-scan shape a production job would use
+    base = spark.sql(f"WITH {EXTRACT_CTE} SELECT url, lat, lon FROM extracted "
+                     "WHERE lat IS NOT NULL").persist()
+    base.count()  # materialize
 
-    tiles = (ext.withColumn("cell", cell12("lon", "lat"))
+    # 1. ONE fused kernel stage (webmerc + Krueger UTM + Karney distance +
+    # S2 cell in a single Arrow crossing) -> tile aggregation
+    ext = (base.filter(F.abs(F.col("lat")) <= 85.06)
+               .withColumn("k", fused("lon", "lat")))
+    tiles = (ext.select("k.*")
                 .withColumn("tx", F.floor((F.col("x") + 20037508.34) / 39135.76))
                 .withColumn("ty", F.floor((20037508.34 - F.col("y")) / 39135.76))
                 .groupBy("tx", "ty").agg(F.count("*").alias("n"),
                                          F.countDistinct("cell").alias("nc"),
-                                         F.avg("dist_origin").alias("d"),
+                                         F.avg("dist").alias("d"),
                                          F.avg("ux").alias("ux"),
                                          F.avg("uy").alias("uy")))
     tiles.write.format("noop").mode("overwrite").save()
 
     # 2. PIP spatial join over the extracted (scaled-int) coordinates
-    pts = spark.sql(f"WITH {EXTRACT_CTE} SELECT url, "
-                    "CAST(lon * 100000 AS BIGINT) AS lon_i, "
-                    "CAST(lat * 100000 AS BIGINT) AS lat_i "
-                    "FROM extracted WHERE lat IS NOT NULL AND ABS(lat) <= 90")
+    pts = base.filter(F.abs(F.col("lat")) <= 90).select(
+        "url",
+        (F.col("lon") * 100000).cast("bigint").alias("lon_i"),
+        (F.col("lat") * 100000).cast("bigint").alias("lat_i"))
     hits = joins.pip_join(spark, pts)
     hits.groupBy("polygon_id").agg(F.count("*").alias("n")) \
         .write.format("noop").mode("overwrite").save()
+    base.unpersist()
 
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -182,6 +192,19 @@ def _burn_capacity(n_procs: int) -> float:
         return float(sum(p.map(_burn_child, range(n_procs))))
 
 
+def _capacity_ratio(levels, repeats: int) -> float:
+    """Alternate the two burn levels back-to-back and take the median of
+    per-pair ratios — the host's deliverable capacity drifts on minute
+    scales, so a single pair is a lottery."""
+    ratios = []
+    for _ in range(repeats):
+        lo = _burn_capacity(levels[0])
+        hi = _burn_capacity(levels[1])
+        ratios.append(hi / lo)
+    ratios.sort()
+    return ratios[len(ratios) // 2]
+
+
 def orchestrate():
     results = {}
     for cpus in LEVELS:
@@ -194,13 +217,12 @@ def orchestrate():
         line = [ln for ln in out.stdout.strip().splitlines()
                 if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    # host capacity control at the same parallelism levels (best of 3)
-    cap = {c: max(_burn_capacity(c) for _ in range(REPEATS)) for c in LEVELS}
+    # host capacity control: alternated pairs, median ratio
+    cap_ratio = _capacity_ratio(LEVELS, 5)
     rlo, rhi = results[LEVELS[0]], results[LEVELS[1]]
     speedup = rhi["docs_per_sec"] / rlo["docs_per_sec"]
     ideal = LEVELS[1] / LEVELS[0]
     eff = speedup / ideal
-    cap_ratio = cap[LEVELS[1]] / cap[LEVELS[0]]
     norm_eff = speedup / cap_ratio
     summary = {
         "metric": "extract+transform+tile+PIP docs/sec at two parallelism levels",
