@@ -106,22 +106,38 @@ def proj_filter(op_def: str, lines: Iterable[str], inverse: bool = False,
 
 def cs2cs_filter(src: str, dst: str, lines: Iterable[str],
                  precision: int = 3) -> Iterator[str]:
-    """``cs2cs`` app emulation: "lon lat [z]" in the source CRS ->
-    "x y [z]" in the target CRS (cs2cs.cpp:101-200)."""
+    """``cs2cs`` app emulation: "u v [z]" in the source CRS ->
+    "x y [z]" in the target CRS (cs2cs.cpp:101-200).
+
+    Angular vs linear handling follows the source/target CRS (reference
+    proj_angular_input/output): geographic-source input is parsed as
+    degrees/DMS and converted to radians; geographic-target output is
+    printed in degrees; projected coordinates pass through in metres.
+    """
+    from .crs import crs_is_geographic
     pipe = create_crs_to_crs(src, dst)
+    src_geo = crs_is_geographic(src)
+    dst_geo = crs_is_geographic(dst)
     for line in lines:
         line = line.strip()
         if not line or line.startswith("#"):
             yield line
             continue
         toks = line.split()
-        u = parse_angle(toks[0]) * DEG_TO_RAD
-        v = parse_angle(toks[1]) * DEG_TO_RAD
+        if src_geo:
+            u = parse_angle(toks[0]) * DEG_TO_RAD
+            v = parse_angle(toks[1]) * DEG_TO_RAD
+        else:
+            u = float(toks[0])
+            v = float(toks[1])
         z = float(toks[2]) if len(toks) > 2 else 0.0
         x, y, zz, _ = pipe.fwd(np.array([u]), np.array([v]), np.array([z]))
         if np.isnan(x[0]):
             yield "*\t*"
             continue
+        if dst_geo:
+            x = x * RAD_TO_DEG
+            y = y * RAD_TO_DEG
         yield (f"{float(x[0]):.{precision}f}\t{float(y[0]):.{precision}f} "
                f"{float(zz[0]):.{precision}f}")
 

@@ -22,7 +22,11 @@ from .kernels import cyl, conic, cartgeo, datum, azimuthal, gridshift, pseudocyl
 def parse_proj_params(s: str) -> list[dict]:
     """Tokenize a proj-string; returns one dict per step (a non-pipeline
     string yields a single-element list)."""
-    toks = s.replace("\n", " ").replace("\\", " ").split()
+    # a standalone backslash is a gie-style line continuation and is
+    # dropped; a backslash embedded in a token (e.g. a file-valued param
+    # like +grids=dir\file.tif) must survive tokenization
+    toks = [t for t in s.replace("\\\n", " ").replace("\n", " ").split()
+            if t != "\\"]
     # merge free-format "key = value" / "key =value" / "key= value" triples
     # (reference pj_trim_argv tokenization, src/4D_api.cpp:993-1041)
     merged = []
@@ -195,12 +199,29 @@ def _towgs84_of(params: dict):
     if tw is None:
         if "datum" in params:
             from .kernels.core import DATUM_TABLE
-            return tuple(DATUM_TABLE[params["datum"]][1])
+            shift = DATUM_TABLE[params["datum"]][1]
+            if isinstance(shift, str):
+                # grid-based datum sentinel (e.g. NAD27 "@grid:...") —
+                # propagated so create_crs_to_crs can route via the grid
+                # registry or raise, never a silent zero Helmert
+                return shift
+            return tuple(shift)
         return None
     vals = tuple(float(v) for v in str(tw).split(","))
     if all(v == 0 for v in vals):
         return None
     return vals
+
+
+_GEOGRAPHIC_PROJS = ("longlat", "latlong", "lonlat", "latlon")
+
+
+def crs_is_geographic(crs: str) -> bool:
+    """True when the CRS's coordinates are lon/lat degrees (the reference's
+    proj_angular_input/output distinction, src/4D_api.cpp:81-118)."""
+    d = epsg_to_proj(int(crs.split(":")[1])) if crs.upper().startswith("EPSG:") else crs
+    steps = parse_proj_params(d)
+    return steps[0].get("proj") in _GEOGRAPHIC_PROJS
 
 
 def create_crs_to_crs(src: str, dst: str) -> Pipeline:
@@ -231,6 +252,17 @@ def create_crs_to_crs(src: str, dst: str) -> Pipeline:
         steps.append((create_operator(sp), "inverse"))
     s_tw = _towgs84_of(sp)
     d_tw = _towgs84_of(dp)
+    if isinstance(s_tw, str) or isinstance(d_tw, str):
+        # grid-based datum sentinel (NAD27 et al.): same datum on both
+        # sides cancels; a mixed pair needs the grid route
+        # (nad27_nad83_transform in querylib / hgridshift), never a
+        # silent zero-Helmert
+        if s_tw == d_tw:
+            s_tw = d_tw = None
+        else:
+            raise ValueError(
+                f"datum pair needs a grid shift ({s_tw!r} vs {d_tw!r}); "
+                "route through hgridshift/gridshift with a loaded grid")
     if s_tw != d_tw:
         from .kernels.datum import Helmert
         from .kernels.cartgeo import Cart

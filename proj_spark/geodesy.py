@@ -1,4 +1,4 @@
-"""Geodesic polygon perimeter + area — the reference's only aggregate
+r"""Geodesic polygon perimeter + area — the reference's only aggregate
 (geod_polygon_addpoint/geod_polygon_compute, src/geodesic.h:124,
 src/geodesic.c:1104-1225).
 

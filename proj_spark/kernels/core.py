@@ -56,10 +56,11 @@ DATUM_TABLE = {
     "ire65": ("mod_airy", (482.530, -130.596, 564.557, -1.042, -0.214, -0.631, 8.15)),
     "nzgd49": ("intl", (59.47, -5.04, 187.44, 0.47, -0.1, 1.024, -4.5993)),
     "OSGB36": ("airy", (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)),
-    # grid-based datums (reference datums.cpp nadgrids entries): the raster
-    # shift lives in the grid registry; as a paired-CRS shift they cancel,
-    # so the static table carries a zero transform
-    "NAD27": ("clrk66", (0, 0, 0)),
+    # grid-based datums (reference datums.cpp nadgrids entries): the shift
+    # is a raster lookup, not a Helmert — the sentinel string marks that so
+    # a mixed-datum pipeline routes through the grid registry (or errors)
+    # instead of silently applying a null transform
+    "NAD27": ("clrk66", "@grid:conus,alaska"),
 }
 
 # reference src/units.cpp (linear units, metres per unit)

@@ -304,10 +304,12 @@ class GeodSolver:
                 want_scale: bool = False):
         """All radians. Returns (s12 metres, azi1, azi2); with
         ``want_scale`` returns (s12, azi1, azi2, m12, M12)."""
-        lon1 = np.asarray(lon1, dtype=np.float64)
-        lat1 = np.asarray(lat1, dtype=np.float64)
-        lon2 = np.asarray(lon2, dtype=np.float64)
-        lat2 = np.asarray(lat2, dtype=np.float64)
+        scalar_in = np.ndim(lon1) == 0 and np.ndim(lat1) == 0 \
+            and np.ndim(lon2) == 0 and np.ndim(lat2) == 0
+        lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
+        lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
+        lon2 = np.atleast_1d(np.asarray(lon2, dtype=np.float64))
+        lat2 = np.atleast_1d(np.asarray(lat2, dtype=np.float64))
 
         lam12_t = adjlon(lon2 - lon1)
         # canonical arrangement: swap points so |phi1| >= |phi2|, make
@@ -446,6 +448,10 @@ class GeodSolver:
         calp2u = np.where(swapp, calp1, calp2) * sw * latsign
         azi1 = np.arctan2(salp1u, calp1u)
         azi2 = np.arctan2(salp2u, calp2u)
+        if scalar_in:
+            s12, azi1, azi2 = s12[0], azi1[0], azi2[0]
+            if want_scale:
+                m12, M12 = m12[0], M12[0]
         if want_scale:
             return s12, azi1, azi2, m12, M12
         return s12, azi1, azi2

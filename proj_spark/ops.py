@@ -88,7 +88,14 @@ def _build_datum_shift(params: dict):
         name = params["datum"]
         if name not in DATUM_TABLE:
             raise KeyError(f"unsupported datum {name}")
-        tw = tuple(DATUM_TABLE[name][1])
+        shift = DATUM_TABLE[name][1]
+        if isinstance(shift, str):
+            # grid-based datum (reference datums.cpp nadgrids entry): a
+            # standalone operator stays within its own datum, so no shift
+            # applies here; pairing against a DIFFERENT datum is guarded
+            # in crs.create_crs_to_crs (grid route or error)
+            return None
+        tw = tuple(shift)
         if all(v == 0 for v in tw):
             return None  # PJD_WGS84-equivalent datum (init.cpp:588-594)
     if tw is None:

@@ -558,8 +558,8 @@ def q_dedup_exact(spark, sf_dir):
 _LANG_SQL = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars,
-       SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS sum_tokens
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS BIGINT) AS sum_tokens
 FROM documents
 GROUP BY lang
 """

@@ -43,13 +43,21 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
                     "n_events", "sum_value"))
 
 
-def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
-    """Drive the stream into an in-memory table until exhausted."""
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append",
+                  timeout_s: float = 300.0):
+    """Drive the stream into an in-memory table until exhausted.
+
+    The wait is bounded: an availableNow query that keeps scheduling
+    micro-batches (e.g. a stateful operator with a processing-time timeout)
+    is force-stopped after ``timeout_s`` instead of hanging the caller.
+    """
     q = (stream_df.writeStream.outputMode(mode)
          .format("memory").queryName(name)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        q.awaitTermination(30)
     return q
 
 
@@ -62,10 +70,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
 
     Emits one row per CLOSED session (a user quiet for ``gap_minutes``):
     (user_id, session_start, session_end, n_events, sum_value). State per
-    user is (start, last_ts, n, sum) — O(1) per key; the processing-time
-    timeout closes idle sessions, so state is bounded by the active-user
-    set, not history. At 100 TB scale the state store shards by user_id
-    across the shuffle partitions.
+    user is (start, last_ts, n, sum) — O(1) per key; an EVENT-time timeout
+    (fires when the watermark passes last_ts + gap) closes idle sessions,
+    so state is bounded by the active-user set, not history, and an
+    availableNow drain terminates once the input is exhausted (a
+    processing-time timeout would keep scheduling batches forever). At
+    100 TB scale the state store shards by user_id across the shuffle
+    partitions.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -97,7 +108,9 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                 n += 1
                 total += float(v_i)
             state.update((start, last, n, total))
-            state.setTimeoutDuration(gap_s * 1000)
+            # event-time timeout: close the session when the watermark
+            # passes last_ts + gap (ms epoch)
+            state.setTimeoutTimestamp(int((last + gap_s) * 1000))
         if not closed:
             yield pd.DataFrame(columns=["user_id", "session_start",
                                         "session_end", "n_events",
@@ -115,4 +128,4 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
             .groupBy("user_id")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",
-                                    GroupStateTimeout.ProcessingTimeTimeout))
+                                    GroupStateTimeout.EventTimeTimeout))
