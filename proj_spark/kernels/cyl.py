@@ -376,34 +376,57 @@ class Tmerc(Operator):
         lam = np.where((g != 0) | (h2 != 0), np.arctan2(g, h2), 0.0)
         return lam, phi
 
+    @staticmethod
+    def _split_apply(fn_far, fn_near, far, a, b):
+        """auto-mode dispatch (tmerc.cpp:598-615): each row is computed
+        exactly ONCE by the branch that owns it (the reference evaluates
+        one branch per point; evaluating both and np.where-ing doubles the
+        work). Chunked for allocator/cache locality."""
+        from .core import chunk_apply
+        o1 = np.empty_like(a)
+        o2 = np.empty_like(a)
+        idx = np.nonzero(far)[0]
+        if idx.size:
+            r1, r2 = chunk_apply(fn_far, (a[idx], b[idx]))
+            o1[idx] = r1
+            o2[idx] = r2
+        idx = np.nonzero(~far)[0]
+        if idx.size:
+            r1, r2 = chunk_apply(fn_near, (a[idx], b[idx]))
+            o1[idx] = r1
+            o2[idx] = r2
+        return o1, o2
+
     def _fwd(self, lam, phi, z, t):
+        from .core import chunk_apply
         if self.spherical:
-            x, y = self._fwd_s(lam, phi)
+            x, y = chunk_apply(self._fwd_s, (lam, phi))
         elif self.algo == "exact":
-            x, y = self._fwd_e(lam, phi)
+            x, y = chunk_apply(self._fwd_e, (lam, phi))
         elif self.algo == "approx":
-            x, y = self._fwd_a(lam, phi)
-        else:  # auto (tmerc.cpp:598-603)
-            xe, ye = self._fwd_e(lam, phi)
-            xa, ya = self._fwd_a(lam, phi)
+            x, y = chunk_apply(self._fwd_a, (lam, phi))
+        elif np.ndim(lam) == 0:  # auto, scalar
             far = np.abs(lam) > 3.0 * DEG_TO_RAD
-            x = np.where(far, xe, xa)
-            y = np.where(far, ye, ya)
+            x, y = (self._fwd_e if far else self._fwd_a)(lam, phi)
+        else:  # auto (tmerc.cpp:598-603)
+            far = np.abs(lam) > 3.0 * DEG_TO_RAD
+            x, y = self._split_apply(self._fwd_e, self._fwd_a, far, lam, phi)
         return x, y, z, t
 
     def _inv(self, x, y, z, t):
+        from .core import chunk_apply
         if self.spherical:
-            lam, phi = self._inv_s(x, y)
+            lam, phi = chunk_apply(self._inv_s, (x, y))
         elif self.algo == "exact":
-            lam, phi = self._inv_e(x, y)
+            lam, phi = chunk_apply(self._inv_e, (x, y))
         elif self.algo == "approx":
-            lam, phi = self._inv_a(x, y)
-        else:  # auto: parabola frontier in dimensionless xy (tmerc.cpp:605-615)
-            le, pe = self._inv_e(x, y)
-            la, pa = self._inv_a(x, y)
+            lam, phi = chunk_apply(self._inv_a, (x, y))
+        elif np.ndim(x) == 0:  # auto, scalar
             far = np.abs(x) > 0.053 - 0.022 * y * y
-            lam = np.where(far, le, la)
-            phi = np.where(far, pe, pa)
+            lam, phi = (self._inv_e if far else self._inv_a)(x, y)
+        else:  # auto: parabola frontier in dimensionless xy (tmerc.cpp:605-615)
+            far = np.abs(x) > 0.053 - 0.022 * y * y
+            lam, phi = self._split_apply(self._inv_e, self._inv_a, far, x, y)
         return lam, phi, z, t
 
 

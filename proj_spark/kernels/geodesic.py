@@ -254,37 +254,43 @@ class GeodSolver:
 
     # -- inverse ------------------------------------------------------------
 
-    def _lambda12(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1):
+    def _lambda12(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1,
+                  want_s12: bool = True):
         """lam12 and s12-precursors for trial azimuth alpha1 (canonical
-        arrangement). Returns (lam12, s12, salp2, calp2)."""
+        arrangement). Returns (lam12, s12, salp2, calp2); ``want_s12=False``
+        skips the distance series during root-finder iterations (s12 is
+        only needed at the converged azimuth).
+
+        Hot path: called 3-5x per point by the Newton solver. All operands
+        are unit-magnitude, so plain sqrt(x^2+y^2) replaces overflow-safe
+        hypot, and the eps-dependent series coefficients (A3/C3) are
+        evaluated once per call instead of once per endpoint."""
         salp0 = salp1 * cbet1
-        calp0 = np.hypot(calp1, salp1 * sbet1)
+        t = salp1 * sbet1
+        calp0 = np.sqrt(calp1 * calp1 + t * t)
 
         ssig1 = sbet1
         csig1 = calp1 * cbet1
-        nrm = np.hypot(ssig1, csig1)
-        ssig1n, csig1n = ssig1 / nrm, csig1 / nrm
+        inv_nrm = 1.0 / np.sqrt(ssig1 * ssig1 + csig1 * csig1)
+        ssig1n, csig1n = ssig1 * inv_nrm, csig1 * inv_nrm
         somg1 = salp0 * sbet1
         comg1 = csig1
 
         # alpha2 from sin(alpha) cos(beta) = sin(alpha0)
         with np.errstate(invalid="ignore", divide="ignore"):
             salp2 = np.where(cbet2 != cbet1, salp0 / cbet2, salp1)
-            calp2sq = ((calp1 * cbet1) ** 2 +
+            calp2sq = (csig1 * csig1 +
                        np.where(cbet1 < -sbet1,
                                 (cbet2 - cbet1) * (cbet1 + cbet2),
                                 (sbet1 - sbet2) * (sbet1 + sbet2)))
             calp2 = np.sqrt(np.maximum(calp2sq, 0.0)) / cbet2
         ssig2 = sbet2
         csig2 = calp2 * cbet2
-        nrm2 = np.hypot(ssig2, csig2)
-        ssig2n, csig2n = ssig2 / nrm2, csig2 / nrm2
+        inv_nrm2 = 1.0 / np.sqrt(ssig2 * ssig2 + csig2 * csig2)
+        ssig2n, csig2n = ssig2 * inv_nrm2, csig2 * inv_nrm2
         somg2 = salp0 * sbet2
         comg2 = csig2
 
-        sig12 = np.arctan2(
-            np.maximum(csig1n * ssig2n - ssig1n * csig2n, 0.0),
-            csig1n * csig2n + ssig1n * ssig2n)
         omg12 = np.arctan2(
             np.maximum(comg1 * somg2 - somg1 * comg2, 0.0),
             comg1 * comg2 + somg1 * somg2)
@@ -292,18 +298,105 @@ class GeodSolver:
         eps, k2 = self._eps(calp0 * calp0)
         sig1 = np.arctan2(ssig1n, csig1n)
         sig2 = np.arctan2(ssig2n, csig2n)
-        I3d = (self._I3(eps, ssig2n, csig2n, sig2)
-               - self._I3(eps, ssig1n, csig1n, sig1))
+        # shared-coefficient I3 difference: A3/C3 depend only on eps
+        a3 = self._A3(eps)
+        c3 = self._C3(eps)
+        I3d = a3 * ((sig2 - sig1)
+                    + (_sin_series(c3, ssig2n, csig2n)
+                       - _sin_series(c3, ssig1n, csig1n)))
         lam12 = omg12 - self.f * salp0 * I3d
-        s12 = (self._I1(eps, ssig2n, csig2n, sig2)
-               - self._I1(eps, ssig1n, csig1n, sig1)) * self.b
+        if want_s12:
+            c1 = _C1(eps)
+            s12 = (1.0 + _A1m1(eps)) * ((sig2 - sig1)
+                                        + (_sin_series(c1, ssig2n, csig2n)
+                                           - _sin_series(c1, ssig1n, csig1n))) * self.b
+        else:
+            s12 = None
         internals = (eps, k2, ssig1n, csig1n, ssig2n, csig2n, sig1, sig2)
         return lam12, s12, salp2, calp2, internals
+
+    def _final_state(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1):
+        """Distance + far azimuth at the CONVERGED alpha1 — the quantities
+        lambda12 iteration skipped. Omits the omg12/I3 lambda series (not
+        needed once the root is found), so the post-loop full-array pass
+        costs ~half a _lambda12."""
+        salp0 = salp1 * cbet1
+        t = salp1 * sbet1
+        calp0 = np.sqrt(calp1 * calp1 + t * t)
+        ssig1 = sbet1
+        csig1 = calp1 * cbet1
+        inv_nrm = 1.0 / np.sqrt(ssig1 * ssig1 + csig1 * csig1)
+        ssig1n, csig1n = ssig1 * inv_nrm, csig1 * inv_nrm
+        with np.errstate(invalid="ignore", divide="ignore"):
+            salp2 = np.where(cbet2 != cbet1, salp0 / cbet2, salp1)
+            calp2sq = (csig1 * csig1 +
+                       np.where(cbet1 < -sbet1,
+                                (cbet2 - cbet1) * (cbet1 + cbet2),
+                                (sbet1 - sbet2) * (sbet1 + sbet2)))
+            calp2 = np.sqrt(np.maximum(calp2sq, 0.0)) / cbet2
+        ssig2 = sbet2
+        csig2 = calp2 * cbet2
+        inv_nrm2 = 1.0 / np.sqrt(ssig2 * ssig2 + csig2 * csig2)
+        ssig2n, csig2n = ssig2 * inv_nrm2, csig2 * inv_nrm2
+        eps, k2 = self._eps(calp0 * calp0)
+        sig1 = np.arctan2(ssig1n, csig1n)
+        sig2 = np.arctan2(ssig2n, csig2n)
+        c1 = _C1(eps)
+        s12 = (1.0 + _A1m1(eps)) * ((sig2 - sig1)
+                                    + (_sin_series(c1, ssig2n, csig2n)
+                                       - _sin_series(c1, ssig1n, csig1n))) * self.b
+        internals = (eps, k2, ssig1n, csig1n, ssig2n, csig2n, sig1, sig2)
+        return s12, salp2, calp2, internals
+
+    def _dlam12(self, internals, sbet1, cbet2, calp2):
+        """d(lam12)/d(alpha1) at the trial azimuth (Karney 2013 eq. 46;
+        reference src/geodesic.c Lambda12 diffp branch): m12b*f1/(calp2*
+        cbet2), with the meridional limit -2*f1*dn1/sbet1 when the line
+        passes through the far pole (calp2*cbet2 -> 0)."""
+        eps, k2, ssig1, csig1, ssig2, csig2, sig1, sig2 = internals
+        dn1 = np.sqrt(1.0 + k2 * ssig1 * ssig1)
+        dn2 = np.sqrt(1.0 + k2 * ssig2 * ssig2)
+        # reduced length only (skip M12/M21), shared coefficients
+        a1m1 = _A1m1(eps)
+        a2m1 = _A2m1(eps)
+        c1 = _C1(eps)
+        c2 = _C2(eps)
+        J12 = ((a1m1 - a2m1) * (sig2 - sig1)
+               + ((1.0 + a1m1) * (_sin_series(c1, ssig2, csig2)
+                                  - _sin_series(c1, ssig1, csig1)))
+               - ((1.0 + a2m1) * (_sin_series(c2, ssig2, csig2)
+                                  - _sin_series(c2, ssig1, csig1))))
+        m12 = self.b * (dn2 * (csig1 * ssig2) - dn1 * (ssig1 * csig2)
+                        - csig1 * csig2 * J12)
+        denom = calp2 * cbet2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            d = (m12 / self.b) * self.f1 / denom
+            merid = np.abs(denom) < 1e-14
+            d = np.where(merid,
+                         -2.0 * self.f1 * dn1 / np.where(sbet1 != 0.0,
+                                                         sbet1, -1.0),
+                         d)
+        return d
 
     def inverse(self, lon1, lat1, lon2, lat2, n_bisect: int = 52,
                 want_scale: bool = False):
         """All radians. Returns (s12 metres, azi1, azi2); with
         ``want_scale`` returns (s12, azi1, azi2, m12, M12)."""
+        from .core import chunk_apply, _CHUNK
+        if all(np.ndim(a) == 1 and np.shape(a) == np.shape(lon1)
+               for a in (lon1, lat1, lon2, lat2)) \
+                and np.shape(lon1)[0] > _CHUNK:
+            # L2-sized slices: the lambda-iteration's ~dozen temporaries
+            # stay in the reused allocator arena instead of fresh mmaps
+            return chunk_apply(
+                lambda a, b, c, d: self._inverse_impl(a, b, c, d, n_bisect,
+                                                      want_scale),
+                (lon1, lat1, lon2, lat2))
+        return self._inverse_impl(lon1, lat1, lon2, lat2, n_bisect,
+                                  want_scale)
+
+    def _inverse_impl(self, lon1, lat1, lon2, lat2, n_bisect: int = 52,
+                      want_scale: bool = False):
         scalar_in = np.ndim(lon1) == 0 and np.ndim(lat1) == 0 \
             and np.ndim(lon2) == 0 and np.ndim(lat2) == 0
         lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
@@ -349,71 +442,92 @@ class GeodSolver:
         # equatorial shortcut: both on equator and lam12 <= (1-f)*pi
         equatorial = (sbet1 == 0) & (sbet2 == 0) & (lam <= self.f1 * np.pi)
 
-        # root-find on alpha1 in (0, pi): lam12(alpha1) monotonic
-        # increasing. Illinois method (regula falsi + stale-side halving):
-        # bracket-safe like the original bisection but superlinear, so a
-        # batch converges in ~10-20 evaluations instead of 52.
+        # root-find on alpha1 in (0, pi): lam12(alpha1) is monotonic
+        # increasing in the canonical arrangement, so a bracket [lo, hi]
+        # always holds the root. Newton with the reduced-length derivative
+        # (Karney 2013 eq. 46, _dlam12) converges in ~3-5 evaluations from
+        # the spherical starting azimuth; a step that leaves the bracket
+        # falls back to the midpoint, so worst case (nearly-antipodal rows
+        # with a poor spherical guess) degrades to plain bisection. The
+        # active set is compressed to the unconverged tail as rows finish.
         lo = np.full_like(lam, 1e-12)
         hi = np.full_like(lam, np.pi - 1e-12)
-        f_lo, _, _, _, _ = self._lambda12(sbet1, cbet1, sbet2, cbet2,
-                                          np.sin(lo), np.cos(lo))
-        f_hi, _, _, _, _ = self._lambda12(sbet1, cbet1, sbet2, cbet2,
-                                          np.sin(hi), np.cos(hi))
-        f_lo = f_lo - lam
-        f_hi = f_hi - lam
         n_pts = lam.shape[0] if lam.ndim else 1
-        alp1 = 0.5 * (lo + hi)
+        # starting azimuth (Karney 2013 §5 / geodesic.c InverseStart
+        # non-antipodal branch): the inverse problem solved on the
+        # auxiliary sphere with the longitude compressed by f1*dnm for
+        # short lines — starting error O(f^2) instead of O(f), which
+        # saves a Newton iteration per point
+        sbet12 = sbet2 * cbet1 - cbet2 * sbet1
+        cbet12 = cbet2 * cbet1 + sbet2 * sbet1
+        shortline = (cbet12 >= 0.0) & (sbet12 < 0.5) & (cbet2 * lam < 0.5)
+        sbsum = sbet1 + sbet2
+        cbsum = cbet1 + cbet2
+        sbetm2 = sbsum * sbsum / (sbsum * sbsum + cbsum * cbsum)
+        dnm = np.sqrt(1.0 + self.ep2 * sbetm2)
+        omg12s = np.where(shortline, lam / (self.f1 * dnm), lam)
+        somg12, comg12 = np.sin(omg12s), np.cos(omg12s)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            guess = np.arctan2(
+                cbet2 * somg12,
+                np.where(comg12 >= 0.0,
+                         sbet12 + cbet2 * sbet1 * somg12 * somg12
+                         / (1.0 + comg12),
+                         (sbet2 * cbet1 + cbet2 * sbet1)
+                         - cbet2 * sbet1 * somg12 * somg12
+                         / (1.0 - comg12)))
+        alp1 = np.clip(guess, lo, hi)
         best_f = np.full_like(lam, np.inf)
-        # active-set state (compressed to the unconverged tail as the bulk
-        # finishes — each lambda12 evaluation costs O(active), so the slow
-        # 5% no longer drags full-batch evaluations)
         idx = np.arange(n_pts)
-        a_lo, a_hi, a_flo, a_fhi = lo, hi, f_lo, f_hi
+        a_lo, a_hi = lo, hi
         a_sb1, a_cb1, a_sb2, a_cb2, a_lam = sbet1, cbet1, sbet2, cbet2, lam
+        cand = alp1.copy()
         a_best = alp1.copy()
         a_bestf = best_f.copy()
-        side = np.zeros_like(a_lam)
         for it in range(n_bisect):
             if idx.size == 0:
                 break
-            with np.errstate(invalid="ignore", divide="ignore"):
-                denom = a_fhi - a_flo
-                cand = a_hi - a_fhi * (a_hi - a_lo) / denom
-            bad = ~np.isfinite(cand) | (cand <= a_lo) | (cand >= a_hi)
-            cand = np.where(bad, 0.5 * (a_lo + a_hi), cand)
-            l12, _, _, _, _ = self._lambda12(a_sb1, a_cb1, a_sb2, a_cb2,
-                                             np.sin(cand), np.cos(cand))
+            l12, _, _, calp2t, internals = self._lambda12(
+                a_sb1, a_cb1, a_sb2, a_cb2, np.sin(cand), np.cos(cand),
+                want_s12=False)
             f_c = l12 - a_lam
             improved = np.abs(f_c) < a_bestf
             a_best = np.where(improved, cand, a_best)
             a_bestf = np.where(improved, np.abs(f_c), a_bestf)
-            too_small = f_c < 0
-            a_lo = np.where(too_small, cand, a_lo)
-            a_hi = np.where(too_small, a_hi, cand)
-            # Illinois: halve the stale endpoint's f on a repeated side
-            a_flo = np.where(too_small, f_c,
-                             np.where(side > 0, 0.5 * a_flo, a_flo))
-            a_fhi = np.where(too_small,
-                             np.where(side < 0, 0.5 * a_fhi, a_fhi), f_c)
-            side = np.where(too_small, -1.0, 1.0)
-            # ~1e-15 rad lam residual (6 nm) / 5-ulp bracket: same effective
-            # resolution as the previous 52-step bisection
-            done = (np.abs(f_c) < 1e-15) | ((a_hi - a_lo) < 1e-15)
+            neg = f_c < 0
+            a_lo = np.where(neg, cand, a_lo)
+            a_hi = np.where(neg, a_hi, cand)
+            # Newton step (bracket-guarded)
+            d = self._dlam12(internals, a_sb1, a_cb2, calp2t)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                newton = cand - f_c / d
+            bad = ~np.isfinite(newton) | (newton <= a_lo) \
+                | (newton >= a_hi) | (d <= 0)
+            nxt = np.where(bad, 0.5 * (a_lo + a_hi), newton)
+            # acceptance: (a) residual at machine floor, (b) bracket
+            # exhausted, or (c) POLISH — |f| < 1e-9 rad means quadratic
+            # convergence puts the next iterate's residual below 1e-17,
+            # so commit the Newton step without paying a re-evaluation
+            # (the reference's tripn/tripb early exit, geodesic.c:1188-1202)
+            polish = (np.abs(f_c) < 1e-9) & ~bad
+            a_best = np.where(polish, nxt, a_best)
+            done = polish | (np.abs(f_c) < 1e-15) | ((a_hi - a_lo) < 1e-15)
+            cand = nxt
             if np.any(done):
                 alp1[idx] = a_best
                 best_f[idx] = a_bestf
                 keep = ~done
                 idx = idx[keep]
                 a_lo, a_hi = a_lo[keep], a_hi[keep]
-                a_flo, a_fhi = a_flo[keep], a_fhi[keep]
                 a_sb1, a_cb1 = a_sb1[keep], a_cb1[keep]
                 a_sb2, a_cb2 = a_sb2[keep], a_cb2[keep]
-                a_lam, side = a_lam[keep], side[keep]
+                a_lam = a_lam[keep]
+                cand = cand[keep]
                 a_best, a_bestf = a_best[keep], a_bestf[keep]
         if idx.size:
             alp1[idx] = a_best
         salp1, calp1 = np.sin(alp1), np.cos(alp1)
-        _, s12, salp2, calp2, internals = self._lambda12(
+        s12, salp2, calp2, internals = self._final_state(
             sbet1, cbet1, sbet2, cbet2, salp1, calp1)
         m12 = M12 = None
         if want_scale:
