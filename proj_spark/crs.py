@@ -247,22 +247,35 @@ def create_crs_to_crs(src: str, dst: str) -> Pipeline:
     sp, dp = src_steps[0], dst_steps[0]
 
     steps: list[tuple] = []
-    # 1. into geodetic coordinates of the source datum
+    # 1. into geodetic coordinates of the source datum. The step operators
+    # are built with op-level datum handling disabled: this pipeline adds
+    # the datum legs explicitly, so leaving +towgs84/+datum live on the
+    # step would apply the shift twice.
     if sp.get("proj") not in ("longlat", "latlong", "lonlat", "latlon"):
-        steps.append((create_operator(sp), "inverse"))
+        steps.append((create_operator({**sp, "_no_datum_shift": True}),
+                      "inverse"))
     s_tw = _towgs84_of(sp)
     d_tw = _towgs84_of(dp)
+    grid_steps_pre: list[tuple] = []
+    grid_steps_post: list[tuple] = []
     if isinstance(s_tw, str) or isinstance(d_tw, str):
-        # grid-based datum sentinel (NAD27 et al.): same datum on both
-        # sides cancels; a mixed pair needs the grid route
-        # (nad27_nad83_transform in querylib / hgridshift), never a
-        # silent zero-Helmert
+        # grid-based datum (NAD27/potsdam nadgrids): same datum on both
+        # sides cancels; otherwise route through hgridshift — grid fwd is
+        # local -> pivot (WGS84/NAD83), reference PJD_GRIDSHIFT semantics
         if s_tw == d_tw:
             s_tw = d_tw = None
         else:
-            raise ValueError(
-                f"datum pair needs a grid shift ({s_tw!r} vs {d_tw!r}); "
-                "route through hgridshift/gridshift with a loaded grid")
+            if isinstance(s_tw, str):
+                grid_steps_pre.append(
+                    (create_operator({"proj": "hgridshift", "grids": s_tw,
+                                      "_no_datum_shift": True}), "forward"))
+                s_tw = None
+            if isinstance(d_tw, str):
+                grid_steps_post.append(
+                    (create_operator({"proj": "hgridshift", "grids": d_tw,
+                                      "_no_datum_shift": True}), "inverse"))
+                d_tw = None
+    steps.extend(grid_steps_pre)
     if s_tw != d_tw:
         from .kernels.datum import Helmert
         from .kernels.cartgeo import Cart
@@ -279,6 +292,7 @@ def create_crs_to_crs(src: str, dst: str) -> Pipeline:
             steps.append((Cart({"proj": "cart", **cur_ell}), "forward"))
             steps.append((Helmert(_helmert_params(d_tw)), "inverse"))
             steps.append((Cart({"proj": "cart", **ell_d}), "inverse"))
+    steps.extend(grid_steps_post)
     # 2. into the destination CRS
     if dp.get("proj") not in ("longlat", "latlong", "lonlat", "latlon"):
         steps.append((create_operator(dp), "forward"))

@@ -50,17 +50,18 @@ DATUM_TABLE = {
     "WGS84": ("WGS84", (0, 0, 0)),
     "GGRS87": ("GRS80", (-199.87, 74.79, 246.62)),
     "NAD83": ("GRS80", (0, 0, 0)),
-    "potsdam": ("bessel", (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)),
+    # reference datums.cpp:50-51: the 7-param Helmert is commented out
+    # upstream in favour of the BETA2007 NTv2 grid
+    "potsdam": ("bessel", "@BETA2007.gsb"),
     "carthage": ("clrk80ign", (-263.0, 6.0, 431.0)),
     "hermannskogel": ("bessel", (577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)),
     "ire65": ("mod_airy", (482.530, -130.596, 564.557, -1.042, -0.214, -0.631, 8.15)),
     "nzgd49": ("intl", (59.47, -5.04, 187.44, 0.47, -0.1, 1.024, -4.5993)),
     "OSGB36": ("airy", (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)),
     # grid-based datums (reference datums.cpp nadgrids entries): the shift
-    # is a raster lookup, not a Helmert — the sentinel string marks that so
-    # a mixed-datum pipeline routes through the grid registry (or errors)
-    # instead of silently applying a null transform
-    "NAD27": ("clrk66", "@grid:conus,alaska"),
+    # is a raster lookup, not a Helmert — a string value is the +nadgrids=
+    # list, routed through the grid registry (never a silent null Helmert)
+    "NAD27": ("clrk66", "@conus,@alaska,@ntv2_0.gsb,@ntv1_can.dat"),
 }
 
 # reference src/units.cpp (linear units, metres per unit)

@@ -70,14 +70,38 @@ class SyntheticGrid:
 _GRIDS: dict[str, SyntheticGrid] = {}
 
 
-def get_grid(name: str) -> SyntheticGrid:
+def get_grid(name: str):
+    """Grid by +grids= value: synthetic registry names, real grid FILES
+    (NTv2/GTX/CTable2 via gridfiles.py, resolved on PROJ_SPARK_GRID_PATH),
+    and comma-separated lists (first containing grid wins, reference
+    hgridshift grid-list semantics). A leading ``@`` marks a grid as
+    optional (reference: missing optional grids are skipped)."""
     if name not in _GRIDS:
         if name == "synthetic_world":
             _GRIDS[name] = SyntheticGrid(-180.0, -90.0, 5.0, 5.0, 73, 37)
         elif name == "synthetic_fine":
             _GRIDS[name] = SyntheticGrid(-10.0, 35.0, 0.25, 0.25, 161, 101)
+        elif "," in name or name.startswith("@"):
+            from ..gridfiles import GridSet
+            members = []
+            for part in name.split(","):
+                part = part.strip()
+                optional = part.startswith("@")
+                if optional:
+                    part = part[1:]
+                try:
+                    members.append(get_grid(part))
+                except (KeyError, ValueError):
+                    # reference pj_grid_init: a missing optional (@) grid
+                    # is skipped; missing required grid is a hard error
+                    if not optional:
+                        raise
+            # all-optional, all missing -> EMPTY set (pass-through,
+            # hgridshift.cpp:39-43), never an error
+            _GRIDS[name] = GridSet(name, members)
         else:
-            raise KeyError(f"unknown grid {name}")
+            from ..gridfiles import load_grid_file
+            _GRIDS[name] = load_grid_file(name)
     return _GRIDS[name]
 
 
@@ -86,10 +110,29 @@ class _GridShiftBase(Operator):
     right = U_RADIANS
 
     def setup(self):
-        self.grid = get_grid(str(self.params.get("grids", "synthetic_world")))
+        if "grids" not in self.params:
+            raise ValueError("missing required +grids parameter")
+        self._grid_name = str(self.params["grids"])
+        # deferred grid opening (reference defer_grid_opening,
+        # hgridshift.cpp/vgridshift.cpp): construction never touches the
+        # filesystem; the raster is resolved at first use
+        self._grid = None
+
+    @property
+    def grid(self):
+        if self._grid is None:
+            self._grid = get_grid(self._grid_name)
+        return self._grid
 
     def _shift(self, lam, phi):
-        dlon_as, dlat_as, dz = self.grid.interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
+        g = self.grid
+        if getattr(g, "grids", None) == []:
+            # empty grid set (all optional grids missing): pass-through,
+            # reference hgridshift.cpp:39-43 / vgridshift.cpp equivalent
+            shape = np.broadcast(np.asarray(lam), np.asarray(phi)).shape
+            zero = np.zeros(shape)
+            return zero, zero, zero
+        dlon_as, dlat_as, dz = g.interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
         return dlon_as, dlat_as, dz
 
 
@@ -125,7 +168,9 @@ class Vgridshift(_GridShiftBase):
 
     def setup(self):
         super().setup()
-        self.multiplier = float(self.params.get("multiplier", 1.0))
+        # reference default: fwd ADDS -1 * grid value (geoid height ->
+        # ellipsoidal-to-orthometric), vgridshift.cpp:201
+        self.multiplier = float(self.params.get("multiplier", -1.0))
 
     def _fwd(self, lam, phi, z, t):
         _, _, dz = self._shift(lam, phi)

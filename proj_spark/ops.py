@@ -79,10 +79,13 @@ def _build_datum_shift(params: dict):
     transpose on output. Returns (cart_wgs84, helmert_or_None, cart_local)
     or None when the CRS is WGS84-equivalent."""
     tw = None
+    nadgrids = None
     if "_no_datum_shift" in params:
         return None
     if "towgs84" in params:
         tw = tuple(float(x) for x in str(params["towgs84"]).split(","))
+    elif "nadgrids" in params:
+        nadgrids = str(params["nadgrids"])
     elif "datum" in params:
         from .kernels.core import DATUM_TABLE
         name = params["datum"]
@@ -90,14 +93,21 @@ def _build_datum_shift(params: dict):
             raise KeyError(f"unsupported datum {name}")
         shift = DATUM_TABLE[name][1]
         if isinstance(shift, str):
-            # grid-based datum (reference datums.cpp nadgrids entry): a
-            # standalone operator stays within its own datum, so no shift
-            # applies here; pairing against a DIFFERENT datum is guarded
-            # in crs.create_crs_to_crs (grid route or error)
-            return None
-        tw = tuple(shift)
-        if all(v == 0 for v in tw):
-            return None  # PJD_WGS84-equivalent datum (init.cpp:588-594)
+            # grid-based datum (reference datums.cpp nadgrids entry, e.g.
+            # NAD27 -> @conus,@alaska..., potsdam -> @BETA2007.gsb)
+            nadgrids = shift
+        else:
+            tw = tuple(shift)
+            if all(v == 0 for v in tw):
+                return None  # PJD_WGS84-equivalent datum (init.cpp:588-594)
+    if nadgrids is not None:
+        # raster datum shift (reference PJD_GRIDSHIFT cs2cs emulation):
+        # grid fwd maps local datum -> pivot (WGS84/NAD83); grid opening
+        # is deferred, so construction succeeds without the files
+        from .kernels.gridshift import Hgridshift
+        gop = Hgridshift({"proj": "hgridshift", "grids": nadgrids,
+                          "_no_datum_shift": True}, "hgridshift")
+        return ("grid", gop)
     if tw is None:
         return None
     from .kernels.cartgeo import Cart
@@ -114,7 +124,7 @@ def _build_datum_shift(params: dict):
         if len(tw) > 3:
             hp["convention"] = "position_vector"
         helm = Helmert(hp)
-    return (cart_wgs84, helm, cart_local)
+    return ("helmert", cart_wgs84, helm, cart_local)
 
 
 def _angles(params: dict, key: str, default: float = 0.0) -> float:
@@ -226,6 +236,16 @@ class Operator:
                 self._axis_sub = _REGISTRY["axisswap"](
                     {"proj": "axisswap", "axis": str(ax)}, "axisswap")
         self._datum_shift = _build_datum_shift(params)
+        # +geoidgrids= cs2cs emulation (reference 4D_api.cpp: heights of
+        # this CRS are geoid/orthometric; the WGS84 side is ellipsoidal):
+        # fwd (WGS84 -> CRS) does z - N, inv does z + N, evaluated in the
+        # CRS's geodetic frame
+        self._geoid_shift = None
+        if "geoidgrids" in params and "_no_datum_shift" not in params:
+            from .kernels.gridshift import Vgridshift
+            self._geoid_shift = Vgridshift(
+                {"proj": "vgridshift", "grids": str(params["geoidgrids"]),
+                 "_no_datum_shift": True}, "vgridshift")
         self.setup()
 
     def setup(self):  # pragma: no cover - overridden
@@ -258,11 +278,19 @@ class Operator:
                 x = adjlon(x)
             if self._datum_shift is not None:
                 # WGS84 geodetic -> local datum geodetic (fwd.cpp:91-100)
-                cw, hm, cl = self._datum_shift
-                x, y, z, t = cw.fwd(x, y, z, t)
-                if hm is not None:
-                    x, y, z, t = hm.inv(x, y, z, t)
-                x, y, z, t = cl.inv(x, y, z, t)
+                if self._datum_shift[0] == "grid":
+                    # raster datum: grid fwd is local->pivot, so inbound
+                    # WGS84 applies the iterative inverse
+                    x, y, z, t = self._datum_shift[1]._inv(x, y, z, t)
+                else:
+                    _, cw, hm, cl = self._datum_shift
+                    x, y, z, t = cw.fwd(x, y, z, t)
+                    if hm is not None:
+                        x, y, z, t = hm.inv(x, y, z, t)
+                    x, y, z, t = cl.inv(x, y, z, t)
+            if self._geoid_shift is not None:
+                # ellipsoidal -> orthometric height (z - N)
+                x, y, z, t = self._geoid_shift._fwd(x, y, z, t)
             # central meridian + prime meridian (reference src/fwd.cpp:108)
             x = (x - self.from_greenwich) - self.lam0
             if not self.over:
@@ -330,13 +358,19 @@ class Operator:
             x = x + self.from_greenwich + self.lam0
             if not self.over:
                 x = adjlon(x)
+            if self._geoid_shift is not None:
+                # orthometric -> ellipsoidal height (z + N)
+                x, y, z, t = self._geoid_shift._inv(x, y, z, t)
             if self._datum_shift is not None:
                 # local datum geodetic -> WGS84 geodetic (inv.cpp:126-135)
-                cw, hm, cl = self._datum_shift
-                x, y, z, t = cl.fwd(x, y, z, t)
-                if hm is not None:
-                    x, y, z, t = hm.fwd(x, y, z, t)
-                x, y, z, t = cw.inv(x, y, z, t)
+                if self._datum_shift[0] == "grid":
+                    x, y, z, t = self._datum_shift[1]._fwd(x, y, z, t)
+                else:
+                    _, cw, hm, cl = self._datum_shift
+                    x, y, z, t = cl.fwd(x, y, z, t)
+                    if hm is not None:
+                        x, y, z, t = hm.fwd(x, y, z, t)
+                    x, y, z, t = cw.inv(x, y, z, t)
             if self.geoc:
                 y = np.arctan(self.ell.one_es * np.tan(y))
         mask = np.isnan(x) | np.isnan(y)

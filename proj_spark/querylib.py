@@ -1022,7 +1022,7 @@ def q_hgridshift_roundtrip(spark, sf_dir):
 
 @q("vgridshift_fwd", f"""
 WITH {POINTS_CTE}, {_GRID_CELL_CTE}
-SELECT pid, h + {_bilinear_sql(2)} AS z_out
+SELECT pid, h - {_bilinear_sql(2)} AS z_out
 FROM gcells
 """)
 def q_vgridshift_fwd(spark, sf_dir):
@@ -1031,9 +1031,10 @@ def q_vgridshift_fwd(spark, sf_dir):
 
     @F.pandas_udf("double")
     def zshift(lon: pd.Series, lat: pd.Series, h: pd.Series) -> pd.Series:
+        # default multiplier -1 (reference vgridshift.cpp:201)
         g = gs.get_grid("synthetic_world")
         _, _, dz = g.interp(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
-        return pd.Series(h.to_numpy(np.float64) + dz)
+        return pd.Series(h.to_numpy(np.float64) - dz)
 
     return df.select("pid", zshift("lon", "lat", "h").alias("z_out"))
 
@@ -1096,6 +1097,162 @@ def q_raster_join_shift(spark, sf_dir):
         "pid",
         (F.col("lon") + dlon / 3600.0).alias("lon_out"),
         (F.col("lat") + dlat / 3600.0).alias("lat_out"))
+
+
+# ===========================================================================
+# Real grid FILES (NTv2 .gsb / GTX .gtx): operator vs parquet-ized raster
+# ===========================================================================
+# The reference's shipped test grids (BETA2007.gsb = DHDN->ETRS89 NTv2,
+# data/tests; the downsampled egm96 GTX) parsed by proj_spark.gridfiles,
+# with the grid NODES exported to parquet so DuckDB replays the engine's
+# renormalized-weight bilinear (grids.cpp read_vgrid_value:3687-3745) with
+# identical operation order — a true external oracle for file-backed
+# rasters, unlike the self-certifying synthetic-grid roundtrips.
+
+import os  # noqa: E402
+
+_REF_TESTS = "/root/reference/data/tests"
+_TESTGRID_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testgrids")
+
+# Germany-local deterministic points: lon [6,15), lat [47.5,54.5) — interior
+# of BETA2007 (5.5..15.67 E, 47..55.3 N) so no clamping/wrap edge cases
+DE_POINTS_CTE = """
+depoints AS (
+  SELECT l_orderkey * 8 + l_linenumber AS pid,
+         CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 900000 AS DOUBLE) / 100000.0 + 6.0 AS lon,
+         CAST((l_orderkey * 2246822519 + l_linenumber * 10369) % 700000 AS DOUBLE) / 100000.0 + 47.5 AS lat,
+         CAST((l_orderkey * 97 + l_linenumber) % 9000 AS DOUBLE) AS h
+  FROM lineitem
+)
+"""
+
+
+def _export_grid_parquet(g, path: str, bands: dict) -> None:
+    """Write (r, c, <band>...) node parquet for a FileGrid, atomically,
+    once (driver-side only — never at module import, so executor re-imports
+    stay side-effect free)."""
+    if os.path.exists(path):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rr, cc = np.mgrid[0:g.height, 0:g.width]
+    cols = {"r": rr.ravel().astype(np.int64), "c": cc.ravel().astype(np.int64)}
+    for name, band in bands.items():
+        cols[name] = band.ravel().astype(np.float64)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+
+
+def _file_cell_cte(g, pts: str = "depoints") -> str:
+    """Cell/fraction CTE mirroring FileGrid.interp's index math (points
+    are interior, so the clip/wrap branches are no-ops)."""
+    lon0, lat0 = repr(g.lon0), repr(g.lat0)
+    dlon, dlat = repr(g.dlon), repr(g.dlat)
+    fx = f"((lon - ({lon0})) / {dlon})"
+    fy = f"((lat - ({lat0})) / {dlat})"
+    return f"""
+fcells AS (
+  SELECT pid, lon, lat, h,
+         CAST(floor({fx}) AS BIGINT) AS c0,
+         CAST(floor({fy}) AS BIGINT) AS r0,
+         {fx} - floor({fx}) AS wx,
+         {fy} - floor({fy}) AS wy
+  FROM {pts}
+),
+wcells AS (
+  SELECT *, (1.0 - wx) * (1.0 - wy) AS w00, wx * (1.0 - wy) AS w10,
+         (1.0 - wx) * wy AS w01, wx * wy AS w11
+  FROM fcells
+)"""
+
+
+def _file_bilinear_sql(col: str) -> str:
+    # accumulation + renormalization order identical to FileGrid.interp
+    num = (f"((((g00.{col} * w00) + (g10.{col} * w10))"
+           f" + (g01.{col} * w01)) + (g11.{col} * w11))")
+    den = "((((w00) + (w10)) + (w01)) + (w11))"
+    return f"({num} / {den})"
+
+
+def _corner_joins(path: str) -> str:
+    gp = f"read_parquet('{path}')"
+    return (f"JOIN {gp} g00 ON g00.r = r0 AND g00.c = c0\n"
+            f"JOIN {gp} g10 ON g10.r = r0 AND g10.c = c0 + 1\n"
+            f"JOIN {gp} g01 ON g01.r = r0 + 1 AND g01.c = c0\n"
+            f"JOIN {gp} g11 ON g11.r = r0 + 1 AND g11.c = c0 + 1")
+
+
+_BETA_GSB = os.path.join(_REF_TESTS, "BETA2007.gsb")
+_EGM96_GTX = os.path.join(_REF_TESTS, "egm96_15_downsampled.gtx")
+
+if os.path.isfile(_BETA_GSB):
+    from .gridfiles import parse_ntv2
+
+    _BETA = parse_ntv2(open(_BETA_GSB, "rb").read(), "BETA2007.gsb").grids[0]
+    _BETA_NODES = os.path.join(_TESTGRID_DIR, "beta2007_nodes.parquet")
+
+    @q("hgridshift_ntv2_fwd", f"""
+WITH {DE_POINTS_CTE}, {_file_cell_cte(_BETA)}
+SELECT pid,
+       lon + {_file_bilinear_sql("dlon_as")} / 3600.0 AS lon_out,
+       lat + {_file_bilinear_sql("dlat_as")} / 3600.0 AS lat_out
+FROM wcells
+{_corner_joins(_BETA_NODES)}
+""")
+    def q_hgridshift_ntv2_fwd(spark, sf_dir):
+        """hgridshift over the real BETA2007 NTv2 grid (DHDN->ETRS89;
+        reference NTv2Grid grids.cpp:2112-2165). Degree-domain mirror of
+        the operator's shift (see q_hgridshift_fwd note); the grid object
+        ships to executors by closure capture — one broadcast per job."""
+        from pyspark.sql import functions as F
+        _export_grid_parquet(_BETA, _BETA_NODES,
+                             {"dlon_as": _BETA.dlon_as, "dlat_as": _BETA.dlat_as})
+        df = _sql_points(spark, DE_POINTS_CTE, "depoints")
+        g = _BETA
+
+        @F.pandas_udf("struct<lon_out:double, lat_out:double>")
+        def shift(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+            lo = lon.to_numpy(np.float64)
+            la = lat.to_numpy(np.float64)
+            dlon_as, dlat_as, _ = g.interp(lo, la)
+            return pd.DataFrame({"lon_out": lo + dlon_as / 3600.0,
+                                 "lat_out": la + dlat_as / 3600.0})
+
+        df = df.withColumn("_s", shift("lon", "lat"))
+        return df.select("pid", F.col("_s.lon_out").alias("lon_out"),
+                         F.col("_s.lat_out").alias("lat_out"))
+
+if os.path.isfile(_EGM96_GTX):
+    from .gridfiles import parse_gtx
+
+    _EGM96 = parse_gtx(open(_EGM96_GTX, "rb").read(), "egm96_15.gtx")
+    _EGM96_NODES = os.path.join(_TESTGRID_DIR, "egm96_nodes.parquet")
+
+    @q("vgridshift_gtx_fwd", f"""
+WITH {DE_POINTS_CTE}, {_file_cell_cte(_EGM96)}
+SELECT pid, h - {_file_bilinear_sql("dz")} AS z_out
+FROM wcells
+{_corner_joins(_EGM96_NODES)}
+""")
+    def q_vgridshift_gtx_fwd(spark, sf_dir):
+        """vgridshift over the real egm96 GTX geoid (reference
+        GTXVerticalShiftGrid grids.cpp:242-362): ellipsoidal -> orthometric
+        (z - N), default multiplier -1 (vgridshift.cpp)."""
+        from pyspark.sql import functions as F
+        _export_grid_parquet(_EGM96, _EGM96_NODES, {"dz": _EGM96.dz_m})
+        df = _sql_points(spark, DE_POINTS_CTE, "depoints")
+        g = _EGM96
+
+        @F.pandas_udf("double")
+        def zshift(lon: pd.Series, lat: pd.Series, h: pd.Series) -> pd.Series:
+            _, _, dz = g.interp(lon.to_numpy(np.float64),
+                                lat.to_numpy(np.float64))
+            return pd.Series(h.to_numpy(np.float64) + (-1.0) * dz)
+
+        return df.select("pid", zshift("lon", "lat", "h").alias("z_out"))
 
 
 # ===========================================================================

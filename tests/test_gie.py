@@ -85,7 +85,10 @@ def test_gie_case(case):
     if case.get("expect_failure"):
         if "accept" not in case:
             pytest.fail(f"expected construction failure for {case['op_def']}")
-        got = op.apply(case["direction"], *_prep_input(op, case["direction"], case["accept"]))
+        try:
+            got = op.apply(case["direction"], *_prep_input(op, case["direction"], case["accept"]))
+        except (ValueError, KeyError):
+            return  # deferred-grid-open failure at apply time: expected
         assert not (np.isfinite(got[0][0]) and np.isfinite(got[1][0])), (
             f"expected failure (NaN), got {got} for {case['op_def']}")
         return

@@ -40,8 +40,55 @@ SUPPORTED_OPS: set[str] = set()
 
 # params we cannot honour yet -> drop the whole block
 UNSUPPORTED_PARAMS = {
-    "nadgrids", "geoidgrids", "geoid_crs",
+    "geoid_crs",
 }
+
+# grid names the reference's own test setup remaps (data/CMakeLists.txt:100-101
+# configure_file's the downsampled grids under the production names); the
+# same aliases are registered in tests/conftest.py
+GRID_ALIASES = {
+    "egm96_15.gtx": "egm96_15_downsampled.gtx",
+    "ntv2_0.gsb": "ntv2_0_downsampled.gsb",
+}
+
+GRID_SEARCH_DIRS = ["/root/reference/data/tests", "/root/reference/data"]
+
+
+def _grid_supported(name: str) -> bool:
+    """Can the engine's gridfiles.py load this +grids member? (NTv2 .gsb,
+    GTX .gtx, CTable2, or the built-in null grid — sniffed by magic.)"""
+    if name == "null":
+        return True
+    name = GRID_ALIASES.get(name, name)
+    base = os.path.basename(name)
+    for d in GRID_SEARCH_DIRS:
+        for cand in (os.path.join(d, name), os.path.join(d, base)):
+            if os.path.isfile(cand):
+                with open(cand, "rb") as f:
+                    head = f.read(64)
+                if head.startswith(b"CTABLE V2") or head[0:8] == b"NUM_OREC":
+                    return True
+                if cand.endswith(".gtx"):
+                    return True
+                return False
+    return False
+
+
+_grids_re = re.compile(r"\+?(?:grids|nadgrids|geoidgrids)=(\S+)")
+
+
+def _block_grids_ok(op_def: str) -> bool:
+    """True when every required grid in the op definition is loadable
+    (optional @grids may be missing — reference pj_grid_init skips them)."""
+    for m in _grids_re.finditer(op_def):
+        for part in m.group(1).split(","):
+            part = part.strip()
+            optional = part.startswith("@")
+            if optional:
+                part = part[1:]
+            if not optional and not _grid_supported(part):
+                return False
+    return True
 
 _num_re = re.compile(r"[-+0-9.eE]+")
 
@@ -87,6 +134,12 @@ def parse_gie(path: str) -> list[dict]:
     tolerance = 5e-4  # gie.cpp:277
     accept = None
     last_expect_ok = False
+    # <gie-strict> semantics (gie.cpp:1388-1410, 1481-1515): content before
+    # the tag is skipped; after it, every non-decoration line must start
+    # with a verb (continuations end in " \") and the first unknown line
+    # ABORTS the file — everything after it never runs
+    strict = False
+    in_block = not any("<gie" in ln for ln in lines)
 
     def flush_op():
         nonlocal op_def, collecting_op
@@ -99,7 +152,17 @@ def parse_gie(path: str) -> list[dict]:
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
-        if line.startswith("<") or set(line) <= {"=", "-"}:
+        if line.startswith("<"):
+            if line.startswith("<gie"):
+                in_block = True
+                strict = line.startswith("<gie-strict>")
+            elif line.startswith("</gie"):
+                in_block = False
+                strict = False
+            continue
+        if set(line) <= {"=", "-"}:
+            continue
+        if not in_block:
             continue
         # strip trailing comments
         if "#" in line:
@@ -107,8 +170,14 @@ def parse_gie(path: str) -> list[dict]:
         toks = line.split()
         verb = toks[0]
         if verb not in VERBS and collecting_op:
+            if strict and not op_lines[-1].rstrip().endswith("\\"):
+                break  # strict abort: stray non-verb line ends the file
             op_lines.append(line)
+            if strict and not line.rstrip().endswith("\\"):
+                collecting_op = False
             continue
+        if verb not in VERBS and strict:
+            break  # strict abort (gie.cpp:1491-1496)
         if verb != "operation":
             flush_op()
         if verb == "operation":
@@ -187,9 +256,10 @@ def filter_supported(records: list[dict]) -> tuple[list[dict], dict]:
             # requires bit-identical operation order, not math parity
             skipped["krovak:apex"] = skipped.get("krovak:apex", 0) + 1
             continue
-        if "grids=" in r["op_def"]:
-            # reference grid FILES (gsb/gtx/tif) aren't loadable here; the
-            # engine's grid registry serves synthetic grids only
+        if not r.get("expect_failure") and not _block_grids_ok(r["op_def"]):
+            # required grid in a format we can't parse (GeoTIFF/NTv1) or
+            # not shipped; expect-failure blocks are kept — a missing or
+            # unparseable grid fails there too, which is the expectation
             skipped["param:grids"] = skipped.get("param:grids", 0) + 1
             continue
         bad = _param_keys(r["op_def"]) & UNSUPPORTED_PARAMS
@@ -211,7 +281,10 @@ def main():
                                                    "guyou.gie", "peirce_q.gie",
                                                    "adams_hemi.gie", "adams_ws1.gie",
                                                    "adams_ws2.gie",
-                                                   "GDA.gie"])
+                                                   "GDA.gie",
+                                                   "DHDN_ETRS89.gie",
+                                                   "nkg.gie",
+                                                   "gridshift.gie"])
     args = ap.parse_args()
 
     SUPPORTED_OPS.update(_supported_ops())
