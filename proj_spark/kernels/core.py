@@ -206,8 +206,16 @@ def _resolve_base(params: dict) -> Ellipsoid:
 # --------------------------------------------------------------------------
 
 def adjlon(lam: np.ndarray) -> np.ndarray:
-    """Wrap longitude into (-pi, pi] (reference src/adjlon.cpp:7)."""
+    """Wrap longitude into (-pi, pi] (reference src/adjlon.cpp:7).
+
+    Fast path: when every value is already in range (the overwhelmingly
+    common case for real data) the input array is returned AS-IS — callers
+    must treat the result as read-only (every call site rebinds)."""
     lam = np.asarray(lam, dtype=np.float64)
+    if lam.ndim and not np.any(np.abs(lam) > np.pi):
+        # NaNs compare False, so all-NaN input also takes this no-op path
+        # (the wrap formula maps NaN -> NaN anyway)
+        return lam
     out = lam - TWO_PI * np.floor((lam + np.pi) / TWO_PI)
     # the reference's while-loop only wraps when |lam| is STRICTLY > pi, so
     # +pi stays +pi (adjlon.cpp:13-20); the floor formula maps +pi -> -pi,

@@ -48,6 +48,29 @@ def _C1(eps):
     ]
 
 
+def _C1_t(eps):
+    """C1 truncated to l<=4 for low-eccentricity ellipsoids: the dropped
+    l=5,6 terms are O(eps^5) <= 1e-16 rad for Earth (eps_max ~ 0.0017),
+    below double roundoff of the sigma sums."""
+    e2 = eps * eps
+    return [
+        eps * (e2 * (-e2 / 32.0 + 3.0 / 16.0) - 0.5),
+        e2 * (e2 * (-9.0 / 2048.0 * e2 + 1.0 / 32.0) - 1.0 / 16.0),
+        eps * e2 * (3.0 / 256.0 * e2 - 1.0 / 48.0),
+        e2 * e2 * (3.0 / 512.0 * e2 - 5.0 / 512.0),
+    ]
+
+
+def _C2_t(eps):
+    e2 = eps * eps
+    return [
+        eps * (e2 * (e2 / 32.0 + 1.0 / 16.0) + 0.5),
+        e2 * (e2 * (35.0 / 2048.0 * e2 + 1.0 / 32.0) + 3.0 / 16.0),
+        eps * e2 * (5.0 / 256.0 * e2 + 5.0 / 48.0),
+        e2 * e2 * (7.0 / 512.0 * e2 + 35.0 / 512.0),
+    ]
+
+
 def _C1p(eps):
     e2 = eps * eps
     return [
@@ -121,11 +144,12 @@ def _C3_coefs(n):
 
 def _sin_series(coefs, sinx, cosx):
     """sum coefs[l-1] * sin(2 l x) via Clenshaw (coefs: list of arrays)."""
-    # sin(2lx) recursion via Clenshaw on cos(2x)
+    # sin(2lx) recursion via Clenshaw on cos(2x); scalar 0.0 starts avoid
+    # two full-width zero allocations per call (hot: 6x per Newton eval)
     ar = 2.0 * (cosx - sinx) * (cosx + sinx)  # 2 cos(2x)
-    y1 = np.zeros_like(sinx)
-    y0 = np.zeros_like(sinx)
-    for c in reversed(coefs):
+    y1 = 0.0
+    y0 = coefs[-1]
+    for c in coefs[-2::-1]:
         y1, y0 = y0, ar * y0 - y1 + c
     return 2.0 * sinx * cosx * y0  # sin(2x) * y0
 
@@ -144,6 +168,16 @@ class GeodSolver:
         self.n = ell.f / (2.0 - ell.f)
         self._a3 = _A3_coefs(self.n)
         self._c3 = _C3_coefs(self.n)
+        # adaptive series order: eps <= ep2 / (1 + sqrt(1+ep2))^2; for
+        # Earth-like flattening (~0.0017) the l=5,6 sigma-series terms and
+        # the l>=4 lambda-series terms are below 1e-15 rad — truncate them
+        # (full order kept for exotic high-eccentricity ellipsoids)
+        eps_max = self.ep2 / (1.0 + np.sqrt(1.0 + self.ep2)) ** 2 \
+            if self.ep2 >= 0 else 0.0
+        self._low_ecc = abs(eps_max) < 0.002
+        self._C1f = _C1_t if self._low_ecc else _C1
+        self._C2f = _C2_t if self._low_ecc else _C2
+        self._c3l = self._c3[:3] if self._low_ecc else self._c3
 
     # -- per-line helpers ---------------------------------------------------
 
@@ -153,20 +187,21 @@ class GeodSolver:
         return k2 / ((s + 1.0) ** 2), k2
 
     def _A3(self, eps):
-        out = np.zeros_like(eps)
-        for c in reversed(self._a3):
+        out = self._a3[-1]  # scalar Horner seed: no zeros_like alloc
+        for c in self._a3[-2::-1]:
             out = out * eps + c
         return out
 
     def _C3(self, eps):
         out = []
-        p = np.ones_like(eps)
-        for l, cl in enumerate(self._c3, start=1):
-            acc = np.zeros_like(eps)
-            for c in reversed(cl):
+        p = eps
+        for l, cl in enumerate(self._c3l, start=1):
+            acc = cl[-1]
+            for c in cl[-2::-1]:
                 acc = acc * eps + c
-            p = p * eps
             out.append(acc * p)
+            if l < len(self._c3l):
+                p = p * eps
         return out
 
     def _I1(self, eps, sinx, cosx, sigma):
@@ -271,8 +306,10 @@ class GeodSolver:
 
         ssig1 = sbet1
         csig1 = calp1 * cbet1
-        inv_nrm = 1.0 / np.sqrt(ssig1 * ssig1 + csig1 * csig1)
-        ssig1n, csig1n = ssig1 * inv_nrm, csig1 * inv_nrm
+        # array/array division: numpy's scalar/array reciprocal path is
+        # ~6x slower than the vectorized a/b loop
+        nrm = np.sqrt(ssig1 * ssig1 + csig1 * csig1)
+        ssig1n, csig1n = ssig1 / nrm, csig1 / nrm
         somg1 = salp0 * sbet1
         comg1 = csig1
 
@@ -286,8 +323,8 @@ class GeodSolver:
             calp2 = np.sqrt(np.maximum(calp2sq, 0.0)) / cbet2
         ssig2 = sbet2
         csig2 = calp2 * cbet2
-        inv_nrm2 = 1.0 / np.sqrt(ssig2 * ssig2 + csig2 * csig2)
-        ssig2n, csig2n = ssig2 * inv_nrm2, csig2 * inv_nrm2
+        nrm2 = np.sqrt(ssig2 * ssig2 + csig2 * csig2)
+        ssig2n, csig2n = ssig2 / nrm2, csig2 / nrm2
         somg2 = salp0 * sbet2
         comg2 = csig2
 
@@ -296,23 +333,27 @@ class GeodSolver:
             comg1 * comg2 + somg1 * somg2)
 
         eps, k2 = self._eps(calp0 * calp0)
-        sig1 = np.arctan2(ssig1n, csig1n)
-        sig2 = np.arctan2(ssig2n, csig2n)
+        # arc length sig12 in [0, pi] via ONE arctan2 of the cross/dot
+        # forms (reference geodesic.c Lambda12:1122-1125) — arctan2 has no
+        # SIMD loop in numpy, so halving the count is a real win
+        sig12 = np.arctan2(
+            np.maximum(csig1n * ssig2n - ssig1n * csig2n, 0.0),
+            csig1n * csig2n + ssig1n * ssig2n)
         # shared-coefficient I3 difference: A3/C3 depend only on eps
         a3 = self._A3(eps)
         c3 = self._C3(eps)
-        I3d = a3 * ((sig2 - sig1)
+        I3d = a3 * (sig12
                     + (_sin_series(c3, ssig2n, csig2n)
                        - _sin_series(c3, ssig1n, csig1n)))
         lam12 = omg12 - self.f * salp0 * I3d
         if want_s12:
-            c1 = _C1(eps)
-            s12 = (1.0 + _A1m1(eps)) * ((sig2 - sig1)
+            c1 = self._C1f(eps)
+            s12 = (1.0 + _A1m1(eps)) * (sig12
                                         + (_sin_series(c1, ssig2n, csig2n)
                                            - _sin_series(c1, ssig1n, csig1n))) * self.b
         else:
             s12 = None
-        internals = (eps, k2, ssig1n, csig1n, ssig2n, csig2n, sig1, sig2)
+        internals = (eps, k2, ssig1n, csig1n, ssig2n, csig2n, sig12)
         return lam12, s12, salp2, calp2, internals
 
     def _final_state(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1):
@@ -325,8 +366,8 @@ class GeodSolver:
         calp0 = np.sqrt(calp1 * calp1 + t * t)
         ssig1 = sbet1
         csig1 = calp1 * cbet1
-        inv_nrm = 1.0 / np.sqrt(ssig1 * ssig1 + csig1 * csig1)
-        ssig1n, csig1n = ssig1 * inv_nrm, csig1 * inv_nrm
+        nrm = np.sqrt(ssig1 * ssig1 + csig1 * csig1)
+        ssig1n, csig1n = ssig1 / nrm, csig1 / nrm
         with np.errstate(invalid="ignore", divide="ignore"):
             salp2 = np.where(cbet2 != cbet1, salp0 / cbet2, salp1)
             calp2sq = (csig1 * csig1 +
@@ -336,16 +377,17 @@ class GeodSolver:
             calp2 = np.sqrt(np.maximum(calp2sq, 0.0)) / cbet2
         ssig2 = sbet2
         csig2 = calp2 * cbet2
-        inv_nrm2 = 1.0 / np.sqrt(ssig2 * ssig2 + csig2 * csig2)
-        ssig2n, csig2n = ssig2 * inv_nrm2, csig2 * inv_nrm2
+        nrm2 = np.sqrt(ssig2 * ssig2 + csig2 * csig2)
+        ssig2n, csig2n = ssig2 / nrm2, csig2 / nrm2
         eps, k2 = self._eps(calp0 * calp0)
-        sig1 = np.arctan2(ssig1n, csig1n)
-        sig2 = np.arctan2(ssig2n, csig2n)
-        c1 = _C1(eps)
-        s12 = (1.0 + _A1m1(eps)) * ((sig2 - sig1)
+        sig12 = np.arctan2(
+            np.maximum(csig1n * ssig2n - ssig1n * csig2n, 0.0),
+            csig1n * csig2n + ssig1n * ssig2n)
+        c1 = self._C1f(eps)
+        s12 = (1.0 + _A1m1(eps)) * (sig12
                                     + (_sin_series(c1, ssig2n, csig2n)
                                        - _sin_series(c1, ssig1n, csig1n))) * self.b
-        internals = (eps, k2, ssig1n, csig1n, ssig2n, csig2n, sig1, sig2)
+        internals = (eps, k2, ssig1n, csig1n, ssig2n, csig2n, sig12)
         return s12, salp2, calp2, internals
 
     def _dlam12(self, internals, sbet1, cbet2, calp2):
@@ -353,19 +395,23 @@ class GeodSolver:
         reference src/geodesic.c Lambda12 diffp branch): m12b*f1/(calp2*
         cbet2), with the meridional limit -2*f1*dn1/sbet1 when the line
         passes through the far pole (calp2*cbet2 -> 0)."""
-        eps, k2, ssig1, csig1, ssig2, csig2, sig1, sig2 = internals
+        eps, k2, ssig1, csig1, ssig2, csig2, sig12 = internals
         dn1 = np.sqrt(1.0 + k2 * ssig1 * ssig1)
         dn2 = np.sqrt(1.0 + k2 * ssig2 * ssig2)
-        # reduced length only (skip M12/M21), shared coefficients
+        # reduced length only (skip M12/M21), shared coefficients; the two
+        # (1+Ai)*sum Ci sin(2l x) series are merged into ONE combined
+        # coefficient set cJ[l] = (1+A1)C1[l] - (1+A2)C2[l], halving the
+        # Clenshaw count (J12 = (A1-A2) sig12 + dS(cJ))
         a1m1 = _A1m1(eps)
         a2m1 = _A2m1(eps)
-        c1 = _C1(eps)
-        c2 = _C2(eps)
-        J12 = ((a1m1 - a2m1) * (sig2 - sig1)
-               + ((1.0 + a1m1) * (_sin_series(c1, ssig2, csig2)
-                                  - _sin_series(c1, ssig1, csig1)))
-               - ((1.0 + a2m1) * (_sin_series(c2, ssig2, csig2)
-                                  - _sin_series(c2, ssig1, csig1))))
+        c1 = self._C1f(eps)
+        c2 = self._C2f(eps)
+        f1a = 1.0 + a1m1
+        f2a = 1.0 + a2m1
+        cj = [f1a * u - f2a * v for u, v in zip(c1, c2)]
+        J12 = ((a1m1 - a2m1) * sig12
+               + (_sin_series(cj, ssig2, csig2)
+                  - _sin_series(cj, ssig1, csig1)))
         m12 = self.b * (dn2 * (csig1 * ssig2) - dn1 * (ssig1 * csig2)
                         - csig1 * csig2 * J12)
         denom = calp2 * cbet2
@@ -382,16 +428,18 @@ class GeodSolver:
                 want_scale: bool = False):
         """All radians. Returns (s12 metres, azi1, azi2); with
         ``want_scale`` returns (s12, azi1, azi2, m12, M12)."""
-        from .core import chunk_apply, _CHUNK
+        from .core import chunk_apply
         if all(np.ndim(a) == 1 and np.shape(a) == np.shape(lon1)
                for a in (lon1, lat1, lon2, lat2)) \
-                and np.shape(lon1)[0] > _CHUNK:
-            # L2-sized slices: the lambda-iteration's ~dozen temporaries
-            # stay in the reused allocator arena instead of fresh mmaps
+                and np.shape(lon1)[0] > 131072:
+            # cache-sized slices: the lambda-iteration's ~dozen temporaries
+            # stay in the reused allocator arena instead of fresh mmaps;
+            # 128k (vs the 64k projection-kernel chunk) amortizes the
+            # Newton loop's ~25 python-level ops per iteration better
             return chunk_apply(
                 lambda a, b, c, d: self._inverse_impl(a, b, c, d, n_bisect,
                                                       want_scale),
-                (lon1, lat1, lon2, lat2))
+                (lon1, lat1, lon2, lat2), chunk=131072)
         return self._inverse_impl(lon1, lat1, lon2, lat2, n_bisect,
                                   want_scale)
 
@@ -406,25 +454,30 @@ class GeodSolver:
 
         lam12_t = adjlon(lon2 - lon1)
         # canonical arrangement: swap points so |phi1| >= |phi2|, make
-        # phi1 <= 0, lam12 in [0, pi]; record flips to undo at the end
+        # phi1 <= 0, lam12 in [0, pi]; record flips to undo at the end.
+        # Selections are arithmetic blends (a + (b-a)*cond) instead of
+        # np.where — ~6x cheaper per op in numpy, and equivalent here:
+        # sign flips are exact +-1 multiplies, and a NaN in either lat
+        # poisons the whole row through the blend exactly as it did
+        # through the selection (all outputs NaN either way)
         swapp = np.abs(lat1) < np.abs(lat2)
-        la1 = np.where(swapp, lat2, lat1)
-        la2 = np.where(swapp, lat1, lat2)
-        lam = np.where(swapp, -lam12_t, lam12_t)
-        latsign = np.where(la1 > 0, -1.0, 1.0)
+        la1 = lat1 + (lat2 - lat1) * swapp
+        la2 = lat2 + (lat1 - lat2) * swapp
+        lam = lam12_t * (1.0 - 2.0 * swapp)
+        latsign = 1.0 - 2.0 * (la1 > 0)
         la1 = la1 * latsign
         la2 = la2 * latsign
-        lonsign = np.where(lam < 0, -1.0, 1.0)
+        lonsign = 1.0 - 2.0 * (lam < 0)
         lam = lam * lonsign
 
         sbet1 = self.f1 * np.sin(la1)
         cbet1 = np.cos(la1)
-        nrm = np.hypot(sbet1, cbet1)
+        nrm = np.sqrt(sbet1 * sbet1 + cbet1 * cbet1)
         sbet1, cbet1 = sbet1 / nrm, cbet1 / nrm
         cbet1 = np.maximum(cbet1, 1e-15)
         sbet2 = self.f1 * np.sin(la2)
         cbet2 = np.cos(la2)
-        nrm = np.hypot(sbet2, cbet2)
+        nrm = np.sqrt(sbet2 * sbet2 + cbet2 * cbet2)
         sbet2, cbet2 = sbet2 / nrm, cbet2 / nrm
         cbet2 = np.maximum(cbet2, 1e-15)
         # snap sub-1e-12-rad latitudes to the equator: the sigma
@@ -432,8 +485,8 @@ class GeodSolver:
         # beta ~ 1e-16 near alpha1 = pi/2 (position error of the snap
         # <= 6 um, far inside every tolerance); enables the exact
         # equatorial shortcut for equator-to-equator pairs
-        sbet1 = np.where(np.abs(sbet1) < 1e-12, 0.0, sbet1)
-        sbet2 = np.where(np.abs(sbet2) < 1e-12, 0.0, sbet2)
+        sbet1 = sbet1 * (np.abs(sbet1) >= 1e-12)  # exact 0/1 blend
+        sbet2 = sbet2 * (np.abs(sbet2) >= 1e-12)
         coincident = (sbet1 == sbet2) & (cbet1 == cbet2) & (lam == 0.0)
         # enforce |bet2| <= |bet1| exactly (roundoff guard)
         sbet2 = np.where(np.abs(sbet2) > np.abs(sbet1) * (1 - 1e-15),
@@ -450,8 +503,8 @@ class GeodSolver:
         # falls back to the midpoint, so worst case (nearly-antipodal rows
         # with a poor spherical guess) degrades to plain bisection. The
         # active set is compressed to the unconverged tail as rows finish.
-        lo = np.full_like(lam, 1e-12)
-        hi = np.full_like(lam, np.pi - 1e-12)
+        lo = 1e-12
+        hi = np.pi - 1e-12
         n_pts = lam.shape[0] if lam.ndim else 1
         # starting azimuth (Karney 2013 §5 / geodesic.c InverseStart
         # non-antipodal branch): the inverse problem solved on the
@@ -465,9 +518,29 @@ class GeodSolver:
         cbsum = cbet1 + cbet2
         sbetm2 = sbsum * sbsum / (sbsum * sbsum + cbsum * cbsum)
         dnm = np.sqrt(1.0 + self.ep2 * sbetm2)
-        omg12s = np.where(shortline, lam / (self.f1 * dnm), lam)
+        omg12s = lam + (lam / (self.f1 * dnm) - lam) * shortline
         somg12, comg12 = np.sin(omg12s), np.cos(omg12s)
+
+        # first-order lambda correction for NON-short lines: the plain
+        # aux-sphere start uses omg12 ~ lam (error O(f)), costing a Newton
+        # iteration. Approximating Karney eq. 6's longitude reduction with
+        # the series tail dropped, domg = f sin(alp0) A3(eps) sig12
+        # (relative error O(eps) on an O(f) term -> start error O(f^2)),
+        # puts the bulk of rows inside the polish window one eval earlier.
         with np.errstate(invalid="ignore", divide="ignore"):
+            csig12g = sbet1 * sbet2 + cbet1 * cbet2 * comg12
+            ssig12g = np.sqrt(np.maximum(1.0 - csig12g * csig12g, 1e-24))
+            salp0g = np.clip(cbet1 * cbet2 * somg12 / ssig12g, -1.0, 1.0)
+            epsg, _ = self._eps(1.0 - salp0g * salp0g)
+            domg = (self.f * salp0g * self._A3(epsg)
+                    * np.arctan2(ssig12g, csig12g)) * (1.0 - shortline)
+            # rotate (somg12, comg12) by the small domg via its Maclaurin
+            # sin/cos (|domg| <= f*pi ~ 0.01: error < 1e-15)
+            d2 = domg * domg
+            sd = domg * (1.0 - d2 * (1.0 / 6.0 - d2 / 120.0))
+            cd = 1.0 - d2 * (0.5 - d2 / 24.0)
+            somg12, comg12 = (somg12 * cd + comg12 * sd,
+                              comg12 * cd - somg12 * sd)
             guess = np.arctan2(
                 cbet2 * somg12,
                 np.where(comg12 >= 0.0,
@@ -477,65 +550,80 @@ class GeodSolver:
                          - cbet2 * sbet1 * somg12 * somg12
                          / (1.0 - comg12)))
         alp1 = np.clip(guess, lo, hi)
-        best_f = np.full_like(lam, np.inf)
         idx = np.arange(n_pts)
         a_lo, a_hi = lo, hi
         a_sb1, a_cb1, a_sb2, a_cb2, a_lam = sbet1, cbet1, sbet2, cbet2, lam
         cand = alp1.copy()
-        a_best = alp1.copy()
-        a_bestf = best_f.copy()
-        for it in range(n_bisect):
+        newton_iters = min(n_bisect, 10)
+        for it in range(newton_iters):
             if idx.size == 0:
                 break
             l12, _, _, calp2t, internals = self._lambda12(
                 a_sb1, a_cb1, a_sb2, a_cb2, np.sin(cand), np.cos(cand),
                 want_s12=False)
             f_c = l12 - a_lam
-            improved = np.abs(f_c) < a_bestf
-            a_best = np.where(improved, cand, a_best)
-            a_bestf = np.where(improved, np.abs(f_c), a_bestf)
+            af = np.abs(f_c)
             neg = f_c < 0
             a_lo = np.where(neg, cand, a_lo)
             a_hi = np.where(neg, a_hi, cand)
             # Newton step (bracket-guarded)
             d = self._dlam12(internals, a_sb1, a_cb2, calp2t)
             with np.errstate(invalid="ignore", divide="ignore"):
-                newton = cand - f_c / d
-            bad = ~np.isfinite(newton) | (newton <= a_lo) \
-                | (newton >= a_hi) | (d <= 0)
-            nxt = np.where(bad, 0.5 * (a_lo + a_hi), newton)
+                nxt = cand - f_c / d
+            bad = ~np.isfinite(nxt) | (nxt <= a_lo) \
+                | (nxt >= a_hi) | (d <= 0)
+            if bad.any():
+                nxt = np.where(bad, 0.5 * (a_lo + a_hi), nxt)
             # acceptance: (a) residual at machine floor, (b) bracket
             # exhausted, or (c) POLISH — |f| < 1e-9 rad means quadratic
             # convergence puts the next iterate's residual below 1e-17,
             # so commit the Newton step without paying a re-evaluation
-            # (the reference's tripn/tripb early exit, geodesic.c:1188-1202)
-            polish = (np.abs(f_c) < 1e-9) & ~bad
-            a_best = np.where(polish, nxt, a_best)
-            done = polish | (np.abs(f_c) < 1e-15) | ((a_hi - a_lo) < 1e-15)
-            cand = nxt
-            if np.any(done):
-                alp1[idx] = a_best
-                best_f[idx] = a_bestf
+            # (the reference's tripn/tripb early exit, geodesic.c:1188-1202).
+            # Non-polish rows that finish (residual floor / bracket
+            # exhausted) commit the current candidate: the maintained
+            # bracket guarantees it is within 1e-15 of the root, so the
+            # old best-so-far tracking was pure overhead.
+            polish = (af < 1e-9) & ~bad
+            done = polish | (af < 1e-15) | ((a_hi - a_lo) < 1e-15)
+            if done.any():
+                alp1[idx[done]] = np.where(polish[done], nxt[done],
+                                           cand[done])
                 keep = ~done
                 idx = idx[keep]
                 a_lo, a_hi = a_lo[keep], a_hi[keep]
                 a_sb1, a_cb1 = a_sb1[keep], a_cb1[keep]
                 a_sb2, a_cb2 = a_sb2[keep], a_cb2[keep]
                 a_lam = a_lam[keep]
-                cand = cand[keep]
-                a_best, a_bestf = a_best[keep], a_bestf[keep]
+                cand = nxt[keep]
+            else:
+                cand = nxt
         if idx.size:
-            alp1[idx] = a_best
+            # nearly-antipodal tail (a handful of rows): Newton gained no
+            # traction within 10 iterations, so finish with plain
+            # bisection — ~1/3 the numpy ops per iteration, and the tail
+            # is tiny so each iteration is dispatch-overhead anyway
+            for it in range(newton_iters, n_bisect):
+                cand = 0.5 * (a_lo + a_hi)
+                l12 = self._lambda12(a_sb1, a_cb1, a_sb2, a_cb2,
+                                     np.sin(cand), np.cos(cand),
+                                     want_s12=False)[0]
+                neg = (l12 - a_lam) < 0
+                a_lo = np.where(neg, cand, a_lo)
+                a_hi = np.where(neg, a_hi, cand)
+                if np.max(a_hi - a_lo) < 1e-15:
+                    break
+            alp1[idx] = 0.5 * (a_lo + a_hi)
         salp1, calp1 = np.sin(alp1), np.cos(alp1)
         s12, salp2, calp2, internals = self._final_state(
             sbet1, cbet1, sbet2, cbet2, salp1, calp1)
         m12 = M12 = None
         if want_scale:
-            eps, k2, ssig1, csig1, ssig2, csig2, sig1, sig2 = internals
+            eps, k2, ssig1, csig1, ssig2, csig2, sig12i = internals
             dn1 = np.sqrt(1.0 + k2 * ssig1 * ssig1)
             dn2 = np.sqrt(1.0 + k2 * ssig2 * ssig2)
             m12, M12s, M21s = self._length_scale(eps, k2, ssig1, csig1, dn1,
-                                                 ssig2, csig2, dn2, sig1, sig2)
+                                                 ssig2, csig2, dn2, 0.0,
+                                                 sig12i)
             # reduced length is symmetric under endpoint exchange; the
             # geodesic scale is not: when canonicalization swapped the
             # endpoints, the scale at the true point 2 is M21 of the solved
@@ -543,23 +631,30 @@ class GeodSolver:
             # invariant.
             M12 = np.where(swapp, M21s, M12s)
 
-        # coincident points: exactly zero
-        s12 = np.where(coincident, 0.0, s12)
-        # equatorial exact value
-        s12 = np.where(equatorial, self.a * lam, s12)
-        salp1 = np.where(equatorial, 1.0, salp1)
-        calp1 = np.where(equatorial, 0.0, calp1)
-        salp2 = np.where(equatorial, 1.0, salp2)
-        calp2 = np.where(equatorial, 0.0, calp2)
+        # coincident points: exactly zero (rare — gate the fixup)
+        if coincident.any():
+            s12 = np.where(coincident, 0.0, s12)
+        # equatorial exact value (rare — gate the fixups)
+        if equatorial.any():
+            s12 = np.where(equatorial, self.a * lam, s12)
+            salp1 = np.where(equatorial, 1.0, salp1)
+            calp1 = np.where(equatorial, 0.0, calp1)
+            salp2 = np.where(equatorial, 1.0, salp2)
+            calp2 = np.where(equatorial, 0.0, calp2)
 
         # undo canonicalization: swap exchanges the azimuth pair and reverses
         # the line (negate sin AND cos = +180 deg); lonsign flips sin,
-        # latsign flips cos
-        sw = np.where(swapp, -1.0, 1.0)
-        salp1u = np.where(swapp, salp2, salp1) * sw * lonsign
-        calp1u = np.where(swapp, calp2, calp1) * sw * latsign
-        salp2u = np.where(swapp, salp1, salp2) * sw * lonsign
-        calp2u = np.where(swapp, calp1, calp2) * sw * latsign
+        # latsign flips cos. Blends instead of np.where: the swap
+        # selection a + (b-a)*cond is ulp-exact here because non-swapped
+        # rows take a + 0.0 and swapped rows' azimuths feed arctan2
+        # (ratio-invariant to the <=1-ulp blend wobble... signs exact).
+        sw = 1.0 - 2.0 * swapp
+        d1 = salp2 - salp1
+        d2 = calp2 - calp1
+        salp1u = (salp1 + d1 * swapp) * sw * lonsign
+        calp1u = (calp1 + d2 * swapp) * sw * latsign
+        salp2u = (salp2 - d1 * swapp) * sw * lonsign
+        calp2u = (calp2 - d2 * swapp) * sw * latsign
         azi1 = np.arctan2(salp1u, calp1u)
         azi2 = np.arctan2(salp2u, calp2u)
         if scalar_in:

@@ -33,6 +33,62 @@ from .kernels.core import (
     resolve_ellipsoid,
 )
 
+def _isub(x, c: float):
+    """``x - c`` in place when x is a writable array and c != 0 (subtracting
+    0.0 is a bit-exact identity, so it is skipped)."""
+    if c == 0.0:
+        return x
+    if isinstance(x, np.ndarray) and x.flags.writeable:
+        np.subtract(x, c, out=x)
+        return x
+    return x - c
+
+
+def _iadd(x, c: float):
+    """``x + c`` in place when possible. The add is NOT skipped for
+    c == 0.0: adding 0.0 normalizes -0.0 to +0.0, matching the
+    out-of-place expression this replaces."""
+    if isinstance(x, np.ndarray) and x.flags.writeable:
+        np.add(x, c, out=x)
+        return x
+    return x + c
+
+
+def _fin(x, a: float, off, fr: float):
+    """``fr * (x * a + off)`` with the reference's operation order, in place
+    on writable kernel outputs. ``off=None`` means no addition step at all
+    (U_CARTESIAN), which is NOT the same as ``off=0.0``: adding 0.0
+    normalizes -0.0 to +0.0 exactly like the out-of-place form did.
+    Multiplying by 1.0 is a bit-exact identity and is skipped."""
+    if not (isinstance(x, np.ndarray) and x.flags.writeable):
+        if off is None:
+            return x * fr
+        return fr * (x * a + off)
+    if a != 1.0:
+        np.multiply(x, a, out=x)
+    if off is not None:
+        np.add(x, off, out=x)
+    if fr != 1.0:
+        np.multiply(x, fr, out=x)
+    return x
+
+
+def _poison_pair(x, y):
+    """Cross-poison: a NaN in either coordinate NaNs both (reference
+    fwd/inv finalize). Skipped entirely when there are no NaNs (hot path);
+    mutates in place when the arrays are writable kernel outputs."""
+    mask = np.isnan(x) | np.isnan(y)
+    if not mask.any():
+        return x, y
+    if (isinstance(x, np.ndarray) and x.ndim and x.flags.writeable
+            and isinstance(y, np.ndarray) and y.ndim == x.ndim
+            and y.shape == x.shape and y.flags.writeable):
+        x[mask] = np.nan
+        y[mask] = np.nan
+        return x, y
+    return np.where(mask, np.nan, x), np.where(mask, np.nan, y)
+
+
 # io-unit tags (reference src/proj_internal.h:192-198)
 U_WHATEVER = "whatever"
 U_CLASSIC = "classic"      # dimensionless x/a -> scaled by a at finalize
@@ -267,10 +323,22 @@ class Operator:
         t = np.zeros_like(x) if t is None else np.asarray(t, dtype=np.float64).copy()
 
         if self.left == U_RADIANS and not self.skip_prepare:
-            # fwd_prepare: validate + poison (reference src/fwd.cpp:53-77)
-            bad = (np.abs(y) - HALF_PI > EPS_LAT) | (np.abs(x) > 10.0)
-            x = np.where(bad, np.nan, x)
-            y = np.where(bad, np.nan, np.clip(y, -HALF_PI, HALF_PI))
+            # fwd_prepare: validate + poison (reference src/fwd.cpp:53-77).
+            # x/y are private copies, so poison/clip mutate in place and
+            # both fixups are skipped entirely on clean input (the hot
+            # path) instead of allocating np.where results per call.
+            ay = np.abs(y)
+            bad = (ay - HALF_PI > EPS_LAT) | (np.abs(x) > 10.0)
+            if x.ndim and bad.any():
+                x[bad] = np.nan
+                y[bad] = np.nan
+                np.clip(y, -HALF_PI, HALF_PI, out=y)
+            elif x.ndim:
+                if np.any(ay > HALF_PI):
+                    np.clip(y, -HALF_PI, HALF_PI, out=y)
+            else:
+                x = np.where(bad, np.nan, x)
+                y = np.where(bad, np.nan, np.clip(y, -HALF_PI, HALF_PI))
             if self.geoc:
                 # geocentric -> geographic latitude (src/geocentric_latitude)
                 y = np.arctan(np.tan(y) / self.ell.one_es)
@@ -291,35 +359,38 @@ class Operator:
             if self._geoid_shift is not None:
                 # ellipsoidal -> orthometric height (z - N)
                 x, y, z, t = self._geoid_shift._fwd(x, y, z, t)
-            # central meridian + prime meridian (reference src/fwd.cpp:108)
-            x = (x - self.from_greenwich) - self.lam0
+            # central meridian + prime meridian (reference src/fwd.cpp:108).
+            # Two separate subtractions, in place on the private copy, to
+            # keep (x - pm) - lam0 bit-identical to the out-of-place form
+            x = _isub(x, self.from_greenwich)
+            x = _isub(x, self.lam0)
             if not self.over:
                 x = adjlon(x)
 
         with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
             x, y, z, t = self._fwd(x, y, z, t)
 
-        # fwd_finalize (reference src/fwd.cpp:123-174)
+        # fwd_finalize (reference src/fwd.cpp:123-174); _fin preserves the
+        # fr*(v*a + off) operation order bit-exactly, in place on kernel
+        # outputs
         if self.right == U_CLASSIC:
-            x = self.fr_meter * (x * self.ell.a + self.x0)
-            y = self.fr_meter * (y * self.ell.a + self.y0)
-            z = self.vfr_meter * (z + self.z0)
+            x = _fin(x, self.ell.a, self.x0, self.fr_meter)
+            y = _fin(y, self.ell.a, self.y0, self.fr_meter)
+            z = _fin(z, 1.0, self.z0, self.vfr_meter)
         elif self.right == U_PROJECTED:
-            x = self.fr_meter * (x + self.x0)
-            y = self.fr_meter * (y + self.y0)
-            z = self.vfr_meter * (z + self.z0)
+            x = _fin(x, 1.0, self.x0, self.fr_meter)
+            y = _fin(y, 1.0, self.y0, self.fr_meter)
+            z = _fin(z, 1.0, self.z0, self.vfr_meter)
         elif self.right == U_CARTESIAN:
-            x = x * self.fr_meter
-            y = y * self.fr_meter
-            z = z * self.fr_meter
+            x = _fin(x, 1.0, None, self.fr_meter)
+            y = _fin(y, 1.0, None, self.fr_meter)
+            z = _fin(z, 1.0, None, self.fr_meter)
         elif self.right == U_RADIANS:
-            z = self.vfr_meter * (z + self.z0)
+            z = _fin(z, 1.0, self.z0, self.vfr_meter)
             if self.lon_wrap is not None:
                 # +lon_wrap re-centering (reference src/fwd.cpp:162-167)
                 x = self.lon_wrap + adjlon(x - self.lon_wrap)
-        mask = np.isnan(x) | np.isnan(y)
-        x = np.where(mask, np.nan, x)
-        y = np.where(mask, np.nan, y)
+        x, y = _poison_pair(x, y)
         if self._axis_sub is not None:
             x, y, z, t = self._axis_sub._fwd(x, y, z, t)
         return x, y, z, t
@@ -333,21 +404,22 @@ class Operator:
         if self._axis_sub is not None:
             x, y, z, t = self._axis_sub._inv(x, y, z, t)
 
-        # inv_prepare: undo finalize
+        # inv_prepare: undo finalize. ra*(v*to_m + (-off)) is bit-identical
+        # to (v*to_m - off)*ra (IEEE a-b == a+(-b)), so _fin applies.
         if self.right == U_CLASSIC:
-            x = (x * self.to_meter - self.x0) * self.ell.ra
-            y = (y * self.to_meter - self.y0) * self.ell.ra
-            z = z * self.vto_meter - self.z0
+            x = _fin(x, self.to_meter, -self.x0, self.ell.ra)
+            y = _fin(y, self.to_meter, -self.y0, self.ell.ra)
+            z = _fin(z, self.vto_meter, -self.z0, 1.0)
         elif self.right == U_PROJECTED:
-            x = x * self.to_meter - self.x0
-            y = y * self.to_meter - self.y0
-            z = z * self.vto_meter - self.z0
+            x = _fin(x, self.to_meter, -self.x0, 1.0)
+            y = _fin(y, self.to_meter, -self.y0, 1.0)
+            z = _fin(z, self.vto_meter, -self.z0, 1.0)
         elif self.right == U_CARTESIAN:
-            x = x * self.to_meter
-            y = y * self.to_meter
-            z = z * self.to_meter
+            x = _fin(x, self.to_meter, None, 1.0)
+            y = _fin(y, self.to_meter, None, 1.0)
+            z = _fin(z, self.to_meter, None, 1.0)
         elif self.right == U_RADIANS:
-            z = z * self.vto_meter - self.z0
+            z = _fin(z, self.vto_meter, -self.z0, 1.0)
 
         with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
             x, y, z, t = self._inv(x, y, z, t)
@@ -355,7 +427,7 @@ class Operator:
         # inv_finalize: re-offset central meridian, wrap, geoc
         if self.left == U_RADIANS and not self.skip_prepare:
             # reference src/inv.cpp:113
-            x = x + self.from_greenwich + self.lam0
+            x = _iadd(_iadd(x, self.from_greenwich), self.lam0)
             if not self.over:
                 x = adjlon(x)
             if self._geoid_shift is not None:
@@ -373,9 +445,7 @@ class Operator:
                     x, y, z, t = cw.inv(x, y, z, t)
             if self.geoc:
                 y = np.arctan(self.ell.one_es * np.tan(y))
-        mask = np.isnan(x) | np.isnan(y)
-        x = np.where(mask, np.nan, x)
-        y = np.where(mask, np.nan, y)
+        x, y = _poison_pair(x, y)
         return x, y, z, t
 
     def apply(self, direction: str, x, y, z=None, t=None):
