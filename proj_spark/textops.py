@@ -144,14 +144,38 @@ FROM bitsums
 
 def simhash_pairs_sql(dialect: str) -> str:
     base = simhash_sql(dialect)
-    xor = ("(a.simhash ^ b.simhash)" if dialect == "spark"
-           else "xor(a.simhash, b.simhash)")
-    return f"""
+    if dialect != "spark":
+        # oracle: the definitional all-pairs theta join — fine for DuckDB
+        # at test scale, and deliberately a DIFFERENT plan from the engine
+        return f"""
 WITH sh AS ({base})
 SELECT a.doc_id AS id1, b.doc_id AS id2,
-       CAST(bit_count({xor}) AS INT) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sh a JOIN sh b
-  ON a.doc_id < b.doc_id AND bit_count({xor}) <= 6
+  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+    # engine: pigeonhole-banded EQUI-join. Hamming <= 6 over 48 bits means
+    # the 6 differing bits cannot touch all 7 disjoint bands, so every
+    # qualifying pair matches exactly on >= 1 band — candidate generation
+    # is a shuffle hash join on (band, band_value), never a cartesian
+    # (lossless, unlike probabilistic LSH). DISTINCT collapses pairs that
+    # match on several bands; the <= 6 check then verifies candidates.
+    offs_widths = [(0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7),
+                   (42, 6)]
+    band_exprs = ", ".join(
+        f"(simhash div {2 ** o}) % {2 ** w}" for o, w in offs_widths)
+    return f"""
+WITH sh AS ({base}),
+bands AS (
+  SELECT doc_id, simhash, pos AS band, bk
+  FROM sh
+  LATERAL VIEW posexplode(array({band_exprs})) t AS pos, bk
+)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE bit_count(a.simhash ^ b.simhash) <= 6
 """
 
 

@@ -117,3 +117,24 @@ def test_dedup_is_partial_agg(spark):
     p = plan_of(df, "simple")
     assert "partial" in p.lower()
     assert "Exchange" in p
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    """SimHash pair generation is a pigeonhole-banded EQUI-join on
+    (band, band_value) — 7 bands over 48 bits cover hamming <= 6
+    losslessly — never a BroadcastNestedLoop/cartesian theta join
+    (textops.simhash_pairs_sql)."""
+    from proj_spark import textops
+    df = spark.sql(textops.simhash_pairs_sql("spark"))
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_near_dup_no_cartesian(spark):
+    """Embedding near-dup candidates come from the banded-LSH equi-join
+    on (band, key); only verified candidates ever carry vectors."""
+    df = querylib.QUERIES["embedding_near_dup"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
