@@ -1640,3 +1640,628 @@ def q_ann_ivf_top5(spark, sf_dir):
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= 5)
                   .select("qid", "nid", F.round("sim", 6).alias("sim"), "rank"))
+
+
+# ===========================================================================
+# Projection-family coverage queries (VERDICT r1 item 5): one oracle-checked
+# query per remaining big family — moll (pseudocylindrical w/ Newton),
+# robin (tabular spline), krovak (oblique conformal conic), healpix (DGG
+# piecewise), qsc (cube face). Oracles mirror the engine's math in shared
+# SQL, ROUND(.., 0) metres so unrolled-iteration tails can't flip a digit.
+# ===========================================================================
+
+_MOLL = create("+proj=moll +R=6371000")
+
+
+def _moll_oracle() -> str:
+    o = _MOLL
+    cte = [f"""m0 AS (
+  SELECT pid, radians(lon) AS lam, radians(lat) AS th,
+         {C(o.C_p)} * sin(radians(lat)) AS k
+  FROM points
+)"""]
+    for i in range(10):
+        cte.append(f"""m{i + 1} AS (
+  SELECT pid, lam, k,
+         th - (th + sin(th) - k) / (1.0 + cos(th)) AS th
+  FROM m{i}
+)""")
+    return f"""
+WITH {POINTS_CTE}, {", ".join(cte)}
+SELECT pid,
+       ROUND({C(o.C_x)} * lam * cos(th * 0.5) * {C(6371000.0)}, 0) AS x_m,
+       ROUND({C(o.C_y)} * sin(th * 0.5) * {C(6371000.0)}, 0) AS y_m
+FROM m10
+"""
+
+
+@q("moll_fwd", _moll_oracle())
+def q_moll_fwd(spark, sf_dir):
+    """Mollweide (reference src/projections/moll.cpp theta Newton); oracle
+    unrolls 10 Newton steps — both sides converge to the same fixed point
+    at machine precision for |lat| <= 85."""
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, _MOLL, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"),
+                     F.round("y", 0).alias("y_m"))
+
+
+_ROBIN_Q = create("+proj=robin +R=6371000")
+
+
+def _robin_oracle() -> str:
+    from .kernels.pseudocyl import _ROBIN_X, _ROBIN_Y, Robin
+    rows = ", ".join(
+        f"({i}, {', '.join(repr(float(v)) for v in _ROBIN_X[i])},"
+        f" {', '.join(repr(float(v)) for v in _ROBIN_Y[i])})"
+        for i in range(19))
+    vx = "(x0 + dphi * (x1 + dphi * (x2 + dphi * x3)))"
+    vy = "(y0 + dphi * (y1 + dphi * (y2 + dphi * y3)))"
+    return f"""
+WITH {POINTS_CTE},
+rt(i, x0, x1, x2, x3, y0, y1, y2, y3) AS (VALUES {rows}),
+sel AS (
+  SELECT pid, radians(lon) AS lam, radians(lat) AS phi,
+         LEAST(CAST(floor(abs(radians(lat)) * {C(Robin._C1)} + 1e-15) AS BIGINT), 18) AS i
+  FROM points
+),
+j AS (
+  SELECT pid, lam, phi,
+         (180.0 / pi()) * (abs(phi) - {C(Robin._RC1)} * i) AS dphi,
+         x0, x1, x2, x3, y0, y1, y2, y3
+  FROM sel JOIN rt USING (i)
+)
+SELECT pid,
+       ROUND({vx} * {C(Robin._FXC)} * lam * {C(6371000.0)}, 0) AS x_m,
+       ROUND(SIGN(phi) * {vy} * {C(Robin._FYC)} * {C(6371000.0)}, 0) AS y_m
+FROM j
+"""
+
+
+@q("robin_fwd", _robin_oracle())
+def q_robin_fwd(spark, sf_dir):
+    """Robinson (reference robin.cpp): tabular cubic interpolation; oracle
+    joins the 19-node coefficient table inline."""
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, _ROBIN_Q, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"),
+                     F.round("y", 0).alias("y_m"))
+
+
+# Czech-domain points for krovak: lon [12, 19), lat [48.5, 51.5)
+CZ_POINTS_CTE = """
+czpoints AS (
+  SELECT l_orderkey * 8 + l_linenumber AS pid,
+         CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 700000 AS DOUBLE) / 100000.0 + 12.0 AS lon,
+         CAST((l_orderkey * 2246822519 + l_linenumber * 10369) % 300000 AS DOUBLE) / 100000.0 + 48.5 AS lat
+  FROM lineitem
+)
+"""
+
+_KROVAK = create("+proj=krovak")
+
+
+def _krovak_oracle() -> str:
+    o = _KROVAK
+    e = o.ell.e
+    hp = "(pi() * 0.5)"
+    qp4 = "(pi() * 0.25)"
+    gfi = f"pow((1.0 + {C(e)} * sin(phi)) / (1.0 - {C(e)} * sin(phi)), {C(o.alpha * e / 2.0)})"
+    return f"""
+WITH {CZ_POINTS_CTE},
+t1 AS (
+  SELECT pid, radians(lat) AS phi, radians(lon) - {C(o.lam0)} AS lam
+  FROM czpoints
+),
+t2 AS (
+  SELECT pid, lam,
+         2.0 * (atan({C(o.k_)} * pow(tan(phi * 0.5 + {qp4}), {C(o.alpha)}) / {gfi}) - {qp4}) AS u,
+         -lam * {C(o.alpha)} AS deltav
+  FROM t1
+),
+t3 AS (
+  SELECT pid, u, deltav,
+         asin(LEAST(GREATEST({C(np.cos(o.ad))} * sin(u)
+              + {C(np.sin(o.ad))} * cos(u) * cos(deltav), -1.0), 1.0)) AS s
+  FROM t2
+),
+t4 AS (
+  SELECT pid, s,
+         {C(o.n)} * asin(LEAST(GREATEST(cos(u) * sin(deltav) / cos(s), -1.0), 1.0)) AS eps,
+         {C(o.rho0 * np.tan(o._S0 / 2.0 + np.pi / 4) ** o.n)} / pow(tan(s * 0.5 + {qp4}), {C(o.n)}) AS rho
+  FROM t3
+)
+SELECT pid,
+       ROUND(-(rho * sin(eps)) * {C(o.ell.a)}, 0) AS x_m,
+       ROUND(-(rho * cos(eps)) * {C(o.ell.a)}, 0) AS y_m
+FROM t4
+"""
+
+
+@q("krovak_fwd", _krovak_oracle())
+def q_krovak_fwd(spark, sf_dir):
+    """Krovak / S-JTSK (reference krovak.cpp; oblique conformal conic on
+    Bessel with the Czech axis convention: southing/westing negated)."""
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, CZ_POINTS_CTE, "czpoints")
+    df = apply_transform(df, _KROVAK, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"),
+                     F.round("y", 0).alias("y_m"))
+
+
+_HEALPIX = create("+proj=healpix +ellps=GRS80")
+
+
+def _healpix_oracle() -> str:
+    o = _HEALPIX
+    qe = _qsfn("sin(radians(lat))", o.e0, 1.0 - o.es0)
+    phi0 = float(np.arcsin(2.0 / 3.0))
+    fort = "(pi() * 0.25)"
+    return f"""
+WITH {POINTS_CTE},
+t1 AS (
+  SELECT pid, radians(lon) AS lam,
+         asin(LEAST(GREATEST({qe} / {C(o.qp)}, -1.0), 1.0)) AS phia
+  FROM points
+),
+t2 AS (
+  SELECT pid, lam, phia, sin(phia) AS sp,
+         sqrt(3.0 * (1.0 - abs(sin(phia)))) AS sigma,
+         LEAST(floor(2.0 * lam / pi() + 2.0), 3.0) AS cn
+  FROM t1
+),
+t3 AS (
+  SELECT pid, lam, phia, sp, sigma,
+         -3.0 * {fort} + (pi() * 0.5) * cn AS lamc
+  FROM t2
+)
+SELECT pid,
+       ROUND((CASE WHEN abs(phia) <= {C(phi0)} THEN lam
+              ELSE lamc + (lam - lamc) * sigma END) * {C(o.ell.a)}, 0) AS x_m,
+       ROUND((CASE WHEN abs(phia) <= {C(phi0)} THEN 3.0 * pi() / 8.0 * sp
+              ELSE SIGN(phia) * {fort} * (2.0 - sigma) END) * {C(o.ell.a)}, 0) AS y_m
+FROM t3
+"""
+
+
+@q("healpix_fwd", _healpix_oracle())
+def q_healpix_fwd(spark, sf_dir):
+    """HEALPix on GRS80 (reference healpix.cpp): authalic-latitude
+    conversion + piecewise equatorial/polar mapping, semimajor axis
+    rescaled to the authalic radius."""
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, _HEALPIX, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"),
+                     F.round("y", 0).alias("y_m"))
+
+
+# front-face points for qsc: lon [-44, 44), lat [-44, 44)
+QSC_POINTS_CTE = """
+qscpoints AS (
+  SELECT l_orderkey * 8 + l_linenumber AS pid,
+         CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 8800000 AS DOUBLE) / 100000.0 - 44.0 AS lon,
+         CAST((l_orderkey * 2246822519 + l_linenumber * 10369) % 8800000 AS DOUBLE) / 100000.0 - 44.0 AS lat
+  FROM lineitem
+)
+"""
+
+_QSC = create("+proj=qsc +ellps=GRS80")
+
+
+def _qsc_oracle() -> str:
+    o = _QSC
+    fort = "(pi() * 0.25)"
+    hp = "(pi() * 0.5)"
+    return f"""
+WITH {QSC_POINTS_CTE},
+t1 AS (
+  SELECT pid, radians(lon) AS lam,
+         atan({C(o.omf2)} * tan(radians(lat))) AS latc
+  FROM qscpoints
+),
+t2 AS (
+  SELECT pid,
+         cos(latc) * cos(lam) AS q, cos(latc) * sin(lam) AS r,
+         sin(latc) AS s
+  FROM t1
+),
+t3 AS (
+  SELECT pid, acos(LEAST(GREATEST(q, -1.0), 1.0)) AS fphi,
+         atan2(s, r) AS theta0
+  FROM t2
+),
+t4 AS (
+  SELECT pid, fphi,
+         CASE WHEN fphi < 1e-10 THEN 0.0
+              WHEN abs(theta0) <= {fort} THEN theta0
+              WHEN theta0 > {fort} AND theta0 <= {hp} + {fort} THEN theta0 - {hp}
+              WHEN theta0 > {hp} + {fort} OR theta0 <= -({hp} + {fort})
+                THEN CASE WHEN theta0 >= 0.0 THEN theta0 - pi() ELSE theta0 + pi() END
+              ELSE theta0 + {hp} END AS theta,
+         CASE WHEN fphi < 1e-10 THEN 0
+              WHEN abs(theta0) <= {fort} THEN 0
+              WHEN theta0 > {fort} AND theta0 <= {hp} + {fort} THEN 1
+              WHEN theta0 > {hp} + {fort} OR theta0 <= -({hp} + {fort}) THEN 2
+              ELSE 3 END AS area
+  FROM t3
+),
+t5 AS (
+  SELECT pid, fphi, theta, area,
+         atan((12.0 / pi()) * (theta + acos(sin(theta) * cos({fort})) - {hp})) AS mu
+  FROM t4
+),
+t6 AS (
+  SELECT pid,
+         sqrt((1.0 - cos(fphi)) / (cos(mu) * cos(mu))
+              / (1.0 - cos(atan(1.0 / cos(theta))))) AS tt,
+         mu + CASE WHEN area = 1 THEN {hp} WHEN area = 2 THEN pi()
+                   WHEN area = 3 THEN pi() + {hp} ELSE 0.0 END AS mu2
+  FROM t5
+)
+SELECT pid,
+       ROUND(tt * cos(mu2) * {C(o.ell.a)}, 0) AS x_m,
+       ROUND(tt * sin(mu2) * {C(o.ell.a)}, 0) AS y_m
+FROM t6
+"""
+
+
+@q("qsc_fwd", _qsc_oracle())
+def q_qsc_fwd(spark, sf_dir):
+    """Quadrilateralized Spherical Cube, front face (reference qsc.cpp:
+    geocentric latitude, face angle + area selection, [OL76] mu/t)."""
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, QSC_POINTS_CTE, "qscpoints")
+    df = apply_transform(df, _QSC, "lon", "lat")
+    return df.select("pid", F.round("x", 0).alias("x_m"),
+                     F.round("y", 0).alias("y_m"))
+
+
+# ===========================================================================
+# Transformation-family coverage queries: unified gridshift, xyzgridshift,
+# deformation, tinshift, horner (VERDICT r1 item 5) + NAD27 regional grid
+# routing (item 9).
+# ===========================================================================
+
+_GRIDU = create("+proj=gridshift +grids=synthetic_world")
+
+
+@q("gridshift_unified", f"""
+WITH {POINTS_CTE}, {_GRID_CELL_CTE}
+SELECT pid,
+       lon + {_bilinear_sql(0)} / 3600.0 AS lon_out,
+       lat + {_bilinear_sql(1)} / 3600.0 AS lat_out,
+       h + {_bilinear_sql(2)} AS z_out,
+       1 AS ok
+FROM gcells
+""")
+def q_gridshift_unified(spark, sf_dir):
+    """Unified n-band gridshift (reference transformations/gridshift.cpp):
+    horizontal arcsec bands + vertical metres from ONE grid. Values come
+    from the degree-domain mirror (bit-exact vs the oracle, see
+    q_hgridshift_fwd note); ok additionally certifies the REGISTERED
+    operator's radians fwd+inv roundtrip (iterative inverse,
+    gridshift.cpp:601) to < 1e-8 deg."""
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+
+    @F.pandas_udf("struct<lon_out:double, lat_out:double, z_out:double>")
+    def shift(lon: pd.Series, lat: pd.Series, h: pd.Series) -> pd.DataFrame:
+        g = gs.get_grid("synthetic_world")
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        dlon_as, dlat_as, dz = g.interp(lo, la)
+        return pd.DataFrame({"lon_out": lo + dlon_as / 3600.0,
+                             "lat_out": la + dlat_as / 3600.0,
+                             "z_out": h.to_numpy(np.float64) + dz})
+
+    df = df.withColumn("_s", shift("lon", "lat", "h"))
+    rt = Pipeline([(_GRIDU, "forward"), (_GRIDU, "inverse")])
+    df = apply_transform(df, rt, "lon", "lat", z_col="h",
+                         out_cols=("lon2", "lat2"))
+    return df.select(
+        "pid", F.col("_s.lon_out").alias("lon_out"),
+        F.col("_s.lat_out").alias("lat_out"), F.col("_s.z_out").alias("z_out"),
+        ((F.abs(F.col("lon2") - F.col("lon")) < 1e-8)
+         & (F.abs(F.col("lat2") - F.col("lat")) < 1e-8)).cast("int").alias("ok"))
+
+
+_CART_GRS = create("+proj=cart +ellps=GRS80")
+_XYZG = create("+proj=xyzgridshift +grids=synthetic_world +ellps=GRS80")
+
+
+def _cart_over_gcells_cte() -> str:
+    """cart XYZ columns appended row-wise over gcells (no join: pids are
+    NOT unique — l_linenumber repeats — so all derivations must stay in
+    one per-row chain)."""
+    ell = _CART_GRS.ell
+    return f"""
+cg AS (
+  SELECT *, (nn + h) * cos(phi) * cos(lam) AS gx,
+         (nn + h) * cos(phi) * sin(lam) AS gy,
+         (nn * {C(ell.one_es)} + h) * sin(phi) AS gz
+  FROM (
+    SELECT *, radians(lat) AS phi, radians(lon) AS lam,
+           {C(ell.a)} / sqrt(1.0 - {C(ell.es)} * sin(radians(lat)) * sin(radians(lat))) AS nn
+    FROM gcells
+  ) t0
+)"""
+
+
+@q("xyzgridshift_fwd", f"""
+WITH {POINTS_CTE}, {_GRID_CELL_CTE}, {_cart_over_gcells_cte()}
+SELECT pid,
+       ROUND(gx + {_bilinear_sql(0)}, 3) AS x_out,
+       ROUND(gy + {_bilinear_sql(1)}, 3) AS y_out,
+       ROUND(gz + {_bilinear_sql(2)}, 3) AS z_out
+FROM cg
+""")
+def q_xyzgridshift_fwd(spark, sf_dir):
+    """Geocentric-domain grid shift (reference xyzgridshift.cpp):
+    cart fwd then + (dx, dy, dz) metres looked up at the geodetic
+    position. The engine's lookup position comes from the iterative
+    cart inverse (agrees with the oracle's exact lon/lat to ~1e-9 deg;
+    bilinear is continuous, so mm-rounding absorbs it)."""
+    from pyspark.sql import functions as F
+    pipe = Pipeline([(_CART_GRS, "forward"), (_XYZG, "forward")])
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, pipe, "lon", "lat", z_col="h",
+                         out_cols=("gx", "gy", "gz"))
+    return df.select("pid", F.round("gx", 3).alias("x_out"),
+                     F.round("gy", 3).alias("y_out"),
+                     F.round("gz", 3).alias("z_out"))
+
+
+_DEFORM = create("+proj=deformation +dt=10 +grids=synthetic_world +ellps=GRS80")
+
+
+@q("deformation_fwd", f"""
+WITH {POINTS_CTE}, {_GRID_CELL_CTE}, {_cart_over_gcells_cte()},
+venu AS (
+  SELECT pid, gx, gy, gz,
+         {_bilinear_sql(0)} / 1000.0 AS ve,
+         {_bilinear_sql(1)} / 1000.0 AS vn,
+         {_bilinear_sql(2)} / 1000.0 AS vu,
+         sin(radians(lat)) AS sp, cos(radians(lat)) AS cp,
+         sin(radians(lon)) AS sl, cos(radians(lon)) AS cl
+  FROM cg
+)
+SELECT pid,
+       ROUND(gx + 10.0 * (-sp * cl * vn - sl * ve + cp * cl * vu), 3) AS x_out,
+       ROUND(gy + 10.0 * (-sp * sl * vn + cl * ve + cp * sl * vu), 3) AS y_out,
+       ROUND(gz + 10.0 * (cp * vn + sp * vu), 3) AS z_out
+FROM venu
+""")
+def q_deformation_fwd(spark, sf_dir):
+    """Kinematic deformation (reference transformations/deformation.cpp):
+    X + dt * V with the ENU velocity field (registry bands as mm/yr)
+    rotated to geocentric at the point (deformation.cpp:147-153)."""
+    from pyspark.sql import functions as F
+    pipe = Pipeline([(_CART_GRS, "forward"), (_DEFORM, "forward")])
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = apply_transform(df, pipe, "lon", "lat", z_col="h",
+                         out_cols=("gx", "gy", "gz"))
+    return df.select("pid", F.round("gx", 3).alias("x_out"),
+                     F.round("gy", 3).alias("y_out"),
+                     F.round("gz", 3).alias("z_out"))
+
+
+# TIN-domain points: lon [0, 2), lat [0, 2.9)
+TIN_POINTS_CTE = """
+tinpoints AS (
+  SELECT l_orderkey * 8 + l_linenumber AS pid,
+         CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 200000 AS DOUBLE) / 100000.0 + 0.0 AS lon,
+         CAST((l_orderkey * 2246822519 + l_linenumber * 10369) % 290000 AS DOUBLE) / 100000.0 + 0.0 AS lat,
+         CAST((l_orderkey * 97 + l_linenumber) % 9000 AS DOUBLE) AS h
+  FROM lineitem
+)
+"""
+
+_TINSHIFT = create("+proj=tinshift +tins=synthetic_tin")
+
+
+def _tinshift_oracle() -> str:
+    from .kernels.tail6 import _TINS
+    tin = _TINS["synthetic_tin"]
+    v = tin["vertices"]
+    cases_dlon, cases_dlat, cases_dz = [], [], []
+    conds = []
+    for i, j, k in tin["triangles"]:
+        x1, y1 = C(v[i][0]), C(v[i][1])
+        x2, y2 = C(v[j][0]), C(v[j][1])
+        x3, y3 = C(v[k][0]), C(v[k][1])
+        det = f"(({y2} - {y3}) * ({x1} - {x3}) + ({x3} - {x2}) * ({y1} - {y3}))"
+        l1 = f"((({y2} - {y3}) * (lon - {x3}) + ({x3} - {x2}) * (lat - {y3})) / {det})"
+        l2 = f"((({y3} - {y1}) * (lon - {x3}) + ({x1} - {x3}) * (lat - {y3})) / {det})"
+        l3 = f"(1.0 - {l1} - {l2})"
+        cond = f"({l1} >= -1e-12 AND {l2} >= -1e-12 AND {l3} >= -1e-12)"
+        conds.append(cond)
+        cases_dlon.append(
+            f"WHEN {cond} THEN {l1} * {C(v[i][2])} + {l2} * {C(v[j][2])} + {l3} * {C(v[k][2])}")
+        cases_dlat.append(
+            f"WHEN {cond} THEN {l1} * {C(v[i][3])} + {l2} * {C(v[j][3])} + {l3} * {C(v[k][3])}")
+        cases_dz.append(
+            f"WHEN {cond} THEN {l1} * {C(v[i][4])} + {l2} * {C(v[j][4])} + {l3} * {C(v[k][4])}")
+    return f"""
+WITH {TIN_POINTS_CTE}
+SELECT pid,
+       lon + (CASE {" ".join(cases_dlon)} END) AS lon_out,
+       lat + (CASE {" ".join(cases_dlat)} END) AS lat_out,
+       h + (CASE {" ".join(cases_dz)} END) AS z_out
+FROM tinpoints
+"""
+
+
+@q("tinshift_fwd", _tinshift_oracle())
+def q_tinshift_fwd(spark, sf_dir):
+    """Triangulated-network shift (reference transformations/tinshift):
+    first-containing-triangle barycentric interpolation of vertex offsets.
+    Degree-domain mirror (same constants, same op order) — bit-exact vs
+    the oracle's CASE chain."""
+    from pyspark.sql import functions as F
+    op = _TINSHIFT
+    df = _sql_points(spark, TIN_POINTS_CTE, "tinpoints")
+
+    @F.pandas_udf("struct<lon_out:double, lat_out:double, z_out:double>")
+    def shift(lon: pd.Series, lat: pd.Series, h: pd.Series) -> pd.DataFrame:
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        dlon, dlat, dz = op._interp(lo, la)
+        return pd.DataFrame({"lon_out": lo + dlon, "lat_out": la + dlat,
+                             "z_out": h.to_numpy(np.float64) + dz})
+
+    df = df.withColumn("_s", shift("lon", "lat", "h"))
+    return df.select("pid", F.col("_s.lon_out").alias("lon_out"),
+                     F.col("_s.lat_out").alias("lat_out"),
+                     F.col("_s.z_out").alias("z_out"))
+
+
+# deg-2 horner instance over projected-like coordinates derived from points
+_HORNER_DEF = ("+proj=horner +deg=2 "
+               "+fwd_origin=500000,6000000 "
+               "+fwd_u=1000.0,1.0001,1e-8,2e-5,1e-9,-1e-10 "
+               "+fwd_v=2000.0,3e-5,1.00005,-2e-9,1e-8,5e-10")
+_HORNER = create(_HORNER_DEF)
+
+
+def _horner_oracle() -> str:
+    # mirror _horner_real_eval (tail6.py:118-140) exactly for deg=2:
+    # E = fwd_u eval with inner Horner in e, outer in n; N vice versa
+    u = [float(x) for x in "1000.0 1.0001 1e-8 2e-5 1e-9 -1e-10".split()]
+    v = [float(x) for x in "2000.0 3e-5 1.00005 -2e-9 1e-8 5e-10".split()]
+    # reverse-summation order for order=2 (indices: 5,4,3 then 2,1 then 0)
+    E = (f"(n * (n * {C(u[5])} + (e * {C(u[4])} + {C(u[3])}))"
+         f" + (e * (e * {C(u[2])} + {C(u[1])}) + {C(u[0])}))")
+    N = (f"(e * (e * {C(v[5])} + (n * {C(v[4])} + {C(v[3])}))"
+         f" + (n * (n * {C(v[2])} + {C(v[1])}) + {C(v[0])}))")
+    return f"""
+WITH {POINTS_CTE},
+en AS (
+  SELECT pid, (lon * 1000.0 + 400000.0) - 500000.0 AS e,
+         (lat * 1000.0 + 6010000.0) - 6000000.0 AS n
+  FROM points
+)
+SELECT pid, {E} AS u_out, {N} AS v_out
+FROM en
+"""
+
+
+@q("horner_fwd", _horner_oracle())
+def q_horner_fwd(spark, sf_dir):
+    """Poder/Engsager real Horner polynomial (reference
+    transformations/horner.cpp double_real_horner_eval:118-145): deg-2
+    instance; oracle mirrors the reverse-summation nesting exactly, so no
+    rounding is needed."""
+    from pyspark.sql import functions as F
+    df = _sql_points(spark, POINTS_CTE, "points")
+    df = df.select("pid", (F.col("lon") * 1000.0 + 400000.0).alias("e"),
+                   (F.col("lat") * 1000.0 + 6010000.0).alias("n"))
+    df = apply_transform(df, _HORNER, "e", "n", degrees_in=False,
+                         degrees_out=False, out_cols=("u_out", "v_out"))
+    return df.select("pid", "u_out", "v_out")
+
+
+# ===========================================================================
+# NAD27 regional grid dispatch (VERDICT r1 item 9): conus vs alaska rows
+# route to DIFFERENT CTable2 grids through the grid-list first-match
+# resolution (reference hgridshift grid iteration / the per-area candidate
+# operations of 4D_api.cpp:217-346 collapsed onto the +grids list).
+# ===========================================================================
+
+_CONUS_CT2 = os.path.join(_REF_TESTS, "conus")
+_ALASKA_CT2 = os.path.join(_REF_TESTS, "alaska")
+
+if os.path.isfile(_CONUS_CT2) and os.path.isfile(_ALASKA_CT2):
+    from .gridfiles import parse_ctable2, register_grid_file
+
+    register_grid_file("conus", _CONUS_CT2)
+    register_grid_file("alaska", _ALASKA_CT2)
+    _CONUS = parse_ctable2(open(_CONUS_CT2, "rb").read(), "conus")
+    _ALASKA = parse_ctable2(open(_ALASKA_CT2, "rb").read(), "alaska")
+    _CONUS_NODES = os.path.join(_TESTGRID_DIR, "conus_nodes.parquet")
+    _ALASKA_NODES = os.path.join(_TESTGRID_DIR, "alaska_nodes.parquet")
+
+    # interleaved regions: even rows in the lower 48, odd rows in Alaska —
+    # both strictly interior to their grid (and the conus rows outside
+    # alaska's coverage), so extent-based routing is deterministic
+    NA_POINTS_CTE = """
+napoints AS (
+  SELECT l_orderkey * 8 + l_linenumber AS pid,
+         (l_orderkey + l_linenumber) % 2 AS region,
+         CASE WHEN (l_orderkey + l_linenumber) % 2 = 0
+              THEN CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 2500000 AS DOUBLE) / 100000.0 - 120.0
+              ELSE CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 2500000 AS DOUBLE) / 100000.0 - 165.0 END AS lon,
+         CASE WHEN (l_orderkey + l_linenumber) % 2 = 0
+              THEN CAST((l_orderkey * 2246822519 + l_linenumber * 10369) % 1500000 AS DOUBLE) / 100000.0 + 30.0
+              ELSE CAST((l_orderkey * 2246822519 + l_linenumber * 10369) % 800000 AS DOUBLE) / 100000.0 + 58.0 END AS lat
+  FROM lineitem
+)
+"""
+
+    def _region_branch_sql(g, nodes_path: str, region: int) -> str:
+        fx = f"((lon - ({C(g.lon0)})) / {C(g.dlon)})"
+        fy = f"((lat - ({C(g.lat0)})) / {C(g.dlat)})"
+        gp = f"read_parquet('{nodes_path}')"
+        num_lon = ("((((g00.dlon_as * w00) + (g10.dlon_as * w10))"
+                   " + (g01.dlon_as * w01)) + (g11.dlon_as * w11))")
+        num_lat = ("((((g00.dlat_as * w00) + (g10.dlat_as * w10))"
+                   " + (g01.dlat_as * w01)) + (g11.dlat_as * w11))")
+        den = "((((w00) + (w10)) + (w01)) + (w11))"
+        return f"""
+SELECT pid, region,
+       lon + ({num_lon} / {den}) / 3600.0 AS lon_out,
+       lat + ({num_lat} / {den}) / 3600.0 AS lat_out
+FROM (
+  SELECT *, (1.0 - wx) * (1.0 - wy) AS w00, wx * (1.0 - wy) AS w10,
+         (1.0 - wx) * wy AS w01, wx * wy AS w11
+  FROM (
+    SELECT pid, region, lon, lat,
+           CAST(floor({fx}) AS BIGINT) AS c0,
+           CAST(floor({fy}) AS BIGINT) AS r0,
+           {fx} - floor({fx}) AS wx,
+           {fy} - floor({fy}) AS wy
+    FROM napoints WHERE region = {region}
+  ) a
+) b
+JOIN {gp} g00 ON g00.r = r0 AND g00.c = c0
+JOIN {gp} g10 ON g10.r = r0 AND g10.c = c0 + 1
+JOIN {gp} g01 ON g01.r = r0 + 1 AND g01.c = c0
+JOIN {gp} g11 ON g11.r = r0 + 1 AND g11.c = c0 + 1
+"""
+
+    @q("nad27_regional_shift", f"""
+WITH {NA_POINTS_CTE}
+{_region_branch_sql(_CONUS, _CONUS_NODES, 0)}
+UNION ALL
+{_region_branch_sql(_ALASKA, _ALASKA_NODES, 1)}
+""")
+    def q_nad27_regional_shift(spark, sf_dir):
+        """NAD27 -> NAD83 via the conus,alaska grid LIST: each point takes
+        the first grid whose extent contains it (reference NAD27 nadgrids
+        entry, datums.cpp; grid iteration hgridshift.cpp:39-56). The
+        oracle replays each region against its own parquet-ized CTable2
+        nodes — different grids, one query."""
+        from pyspark.sql import functions as F
+        _export_grid_parquet(_CONUS, _CONUS_NODES,
+                             {"dlon_as": _CONUS.dlon_as,
+                              "dlat_as": _CONUS.dlat_as})
+        _export_grid_parquet(_ALASKA, _ALASKA_NODES,
+                             {"dlon_as": _ALASKA.dlon_as,
+                              "dlat_as": _ALASKA.dlat_as})
+        gset = gs.get_grid("@conus,@alaska")
+        df = _sql_points(spark, NA_POINTS_CTE, "napoints")
+
+        @F.pandas_udf("struct<lon_out:double, lat_out:double>")
+        def shift(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+            lo = lon.to_numpy(np.float64)
+            la = lat.to_numpy(np.float64)
+            dlon_as, dlat_as, _ = gset.interp(lo, la)
+            return pd.DataFrame({"lon_out": lo + dlon_as / 3600.0,
+                                 "lat_out": la + dlat_as / 3600.0})
+
+        df = df.withColumn("_s", shift("lon", "lat"))
+        return df.select("pid", "region",
+                         F.col("_s.lon_out").alias("lon_out"),
+                         F.col("_s.lat_out").alias("lat_out"))
