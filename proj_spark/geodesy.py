@@ -57,7 +57,7 @@ def ellipsoid_area(ell: Ellipsoid) -> float:
     return float(4.0 * np.pi * _area_fn(ell, 1.0))
 
 
-def polygon_perimeter_area(ell: Ellipsoid, lon, lat):
+def _polygon_perimeter_area_quadrature(ell: Ellipsoid, lon, lat):
     """Closed-ring perimeter (m) and signed area (m^2, CCW positive).
 
     ``lon``/``lat`` in RADIANS, shape (n,) — the ring is closed
@@ -147,7 +147,7 @@ def polyline_length(ell: Ellipsoid, lon, lat) -> float:
     return float(np.sum(s12))
 
 
-def rings_perimeter_area(ell: Ellipsoid, lons, lats, panels: int | None = None):
+def _rings_perimeter_area_quadrature(ell: Ellipsoid, lons, lats, panels: int | None = None):
     """Batched fixed-arity rings: ``lons``/``lats`` shape (n_rings, k)
     in RADIANS. Returns (perimeter[n], signed_area[n]) with the same
     semantics as :func:`polygon_perimeter_area`, fully vectorized across
@@ -223,4 +223,78 @@ def rings_perimeter_area(ell: Ellipsoid, lons, lats, panels: int | None = None):
     area = winding * 2.0 * np.pi * (c2_4pi / (4.0 * np.pi) - a_ref) - oint
     area = np.where(area > c2_4pi / 2.0, area - c2_4pi, area)
     area = np.where(area <= -c2_4pi / 2.0, area + c2_4pi, area)
+    return perimeter, area
+
+
+# ---------------------------------------------------------------------------
+# C4-series area path (the reference's own formulation: per-edge S12 from
+# geod_geninverse GEOD_AREA, geodesic.c:958-1014 + transit crossing count
+# and areareduceA reduction, geodesic.c:1130-1160, 293). ~100x cheaper per
+# edge than the 384-node quadrature above, which is kept as an independent
+# numeric cross-check (tests/test_geodesy.py::test_series_matches_quadrature).
+# ---------------------------------------------------------------------------
+
+
+def _transit(lon1, lon2):
+    """Per-edge prime-meridian crossing count (geodesic.c transit)."""
+    lon12 = adjlon(lon2 - lon1)
+    l1 = adjlon(lon1)
+    l2 = adjlon(lon2)
+    plus = (lon12 > 0) & (((l1 < 0) & (l2 >= 0)) | ((l1 > 0) & (l2 == 0)))
+    minus = (lon12 < 0) & (l1 >= 0) & (l2 < 0)
+    return plus.astype(np.int64) - minus.astype(np.int64)
+
+
+def _reduce_area(acc, crossings, area0):
+    """areareduceA with reverse=False, sign=True (geodesic.c:293):
+    clockwise-sense accumulator -> CCW-positive signed area in
+    (-area0/2, area0/2]. Vectorized."""
+    acc = acc - area0 * np.round(acc / area0)  # symmetric remainder
+    odd = (np.asarray(crossings) & 1).astype(bool)
+    acc = np.where(odd, acc + np.where(acc < 0, area0 / 2.0, -area0 / 2.0),
+                   acc)
+    area = -acc
+    area = np.where(area > area0 / 2.0, area - area0, area)
+    area = np.where(area <= -area0 / 2.0, area + area0, area)
+    return area
+
+
+def polygon_perimeter_area(ell: Ellipsoid, lon, lat):
+    """Closed-ring perimeter (m) and signed area (m^2, CCW positive),
+    via the C4 area series. ``lon``/``lat`` in RADIANS, shape (n,)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64),
+                  -0.5 * np.pi, 0.5 * np.pi)
+    lon2 = np.roll(lon, -1)
+    lat2 = np.roll(lat, -1)
+    solver = geod.solver(ell)
+    s12, _, _, S12 = solver.inverse(lon, lat, lon2, lat2, want_area=True)
+    perimeter = float(np.sum(s12))
+    area0 = ellipsoid_area(ell)
+    area = _reduce_area(float(np.sum(S12)), int(np.sum(_transit(lon, lon2))),
+                        area0)
+    return perimeter, float(area)
+
+
+def rings_perimeter_area(ell: Ellipsoid, lons, lats, panels: int | None = None):
+    """Batched fixed-arity rings via the C4 area series: ``lons``/``lats``
+    shape (n_rings, k) RADIANS -> (perimeter[n], signed_area[n]), same
+    semantics as :func:`polygon_perimeter_area`. One vectorized inverse
+    solve for ALL edges of all rings — the Spark aggregation path.
+    ``panels`` is accepted for back-compat with the quadrature signature
+    and ignored (the series needs no quadrature nodes)."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.clip(np.asarray(lats, dtype=np.float64),
+                   -0.5 * np.pi, 0.5 * np.pi)
+    nr, k = lons.shape
+    lon1 = lons.ravel()
+    lat1 = lats.ravel()
+    lon2 = np.roll(lons, -1, axis=1).ravel()
+    lat2 = np.roll(lats, -1, axis=1).ravel()
+    solver = geod.solver(ell)
+    s12, _, _, S12 = solver.inverse(lon1, lat1, lon2, lat2, want_area=True)
+    perimeter = s12.reshape(nr, k).sum(axis=1)
+    crossings = _transit(lon1, lon2).reshape(nr, k).sum(axis=1)
+    area = _reduce_area(S12.reshape(nr, k).sum(axis=1), crossings,
+                        ellipsoid_area(ell))
     return perimeter, area

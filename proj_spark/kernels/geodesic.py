@@ -154,6 +154,72 @@ def _sin_series(coefs, sinx, cosx):
     return 2.0 * sinx * cosx * y0  # sin(2x) * y0
 
 
+def _cos_series(coefs, sinx, cosx):
+    """sum coefs[l] * cos((2l+1) x) via Clenshaw (reference geodesic.c
+    SinCosSeries with sinp=FALSE)."""
+    ar = 2.0 * (cosx - sinx) * (cosx + sinx)  # 2 cos(2x)
+    y1 = 0.0
+    y0 = coefs[-1]
+    for c in coefs[-2::-1]:
+        y1, y0 = y0, ar * y0 - y1 + c
+    return cosx * (y0 - y1)
+
+
+# The I4 area series (Karney 2013 eq. 65, published order-6 expansion of
+# the area integrand; constants as embedded by the reference,
+# src/geodesic.c C4coeff:1693-1746). Flat table: for each l = 0..5, for
+# each eps power j = 5 down to l, a polynomial in n of order 5-j followed
+# by its common denominator. Validated against the quadrature area
+# integral in tests/test_geodesy.py.
+_C4_TABLE = [
+    # l = 0
+    97, 15015,
+    1088, 156, 45045,
+    -224, -4784, 1573, 45045,
+    -10656, 14144, -4576, -858, 45045,
+    64, 624, -4576, 6864, -3003, 15015,
+    100, 208, 572, 3432, -12012, 30030, 45045,
+    # l = 1
+    1, 9009,
+    -2944, 468, 135135,
+    5792, 1040, -1287, 135135,
+    5952, -11648, 9152, -2574, 135135,
+    -64, -624, 4576, -6864, 3003, 135135,
+    # l = 2
+    8, 10725,
+    1856, -936, 225225,
+    -8448, 4992, -1144, 225225,
+    -1440, 4160, -4576, 1716, 225225,
+    # l = 3
+    -136, 63063,
+    1024, -208, 105105,
+    3584, -3328, 1144, 315315,
+    # l = 4
+    -128, 135135,
+    -2560, 832, 405405,
+    # l = 5
+    128, 99099,
+]
+
+
+def _C4_coefs(n: float):
+    """Per-ellipsoid C4 coefficient polynomials: out[l] is the descending
+    eps-polynomial p such that C4[l] = eps^l * polyval(p, eps)."""
+    out = []
+    o = 0
+    for l in range(6):
+        seg = []
+        for j in range(5, l - 1, -1):
+            m = 6 - j - 1
+            val = 0.0
+            for c in _C4_TABLE[o:o + m + 1]:
+                val = val * n + c
+            seg.append(val / _C4_TABLE[o + m + 1])
+            o += m + 2
+        out.append(seg)
+    return out
+
+
 class GeodSolver:
     """Precomputed ellipsoid-level state (reference geod_init analogue)."""
 
@@ -178,6 +244,16 @@ class GeodSolver:
         self._C1f = _C1_t if self._low_ecc else _C1
         self._C2f = _C2_t if self._low_ecc else _C2
         self._c3l = self._c3[:3] if self._low_ecc else self._c3
+        self._c4x = _C4_coefs(self.n)
+        # authalic radius squared (reference geod_init, geodesic.c:315-319)
+        if self.e2 > 0:
+            self.c2 = (self.a ** 2 + self.b ** 2
+                       * np.arctanh(np.sqrt(self.e2)) / np.sqrt(self.e2)) / 2.0
+        elif self.e2 < 0:
+            self.c2 = (self.a ** 2 + self.b ** 2
+                       * np.arctan(np.sqrt(-self.e2)) / np.sqrt(-self.e2)) / 2.0
+        else:
+            self.c2 = (self.a ** 2 + self.b ** 2) / 2.0
 
     # -- per-line helpers ---------------------------------------------------
 
@@ -202,6 +278,18 @@ class GeodSolver:
             out.append(acc * p)
             if l < len(self._c3l):
                 p = p * eps
+        return out
+
+    def _C4(self, eps):
+        """C4[l](eps) arrays (reference C4f): eps^l * Horner(seg, eps)."""
+        out = []
+        mult = 1.0
+        for seg in self._c4x:
+            acc = seg[0]
+            for c in seg[1:]:
+                acc = acc * eps + c
+            out.append(mult * acc)
+            mult = mult * eps
         return out
 
     def _I1(self, eps, sinx, cosx, sigma):
@@ -425,9 +513,11 @@ class GeodSolver:
         return d
 
     def inverse(self, lon1, lat1, lon2, lat2, n_bisect: int = 52,
-                want_scale: bool = False):
+                want_scale: bool = False, want_area: bool = False):
         """All radians. Returns (s12 metres, azi1, azi2); with
-        ``want_scale`` returns (s12, azi1, azi2, m12, M12)."""
+        ``want_scale`` returns (s12, azi1, azi2, m12, M12); with
+        ``want_area`` appends the signed area S12 (m^2) between the
+        geodesic and the equator (reference geod_geninverse GEOD_AREA)."""
         from .core import chunk_apply
         if all(np.ndim(a) == 1 and np.shape(a) == np.shape(lon1)
                for a in (lon1, lat1, lon2, lat2)) \
@@ -438,13 +528,64 @@ class GeodSolver:
             # Newton loop's ~25 python-level ops per iteration better
             return chunk_apply(
                 lambda a, b, c, d: self._inverse_impl(a, b, c, d, n_bisect,
-                                                      want_scale),
+                                                      want_scale, want_area),
                 (lon1, lat1, lon2, lat2), chunk=131072)
         return self._inverse_impl(lon1, lat1, lon2, lat2, n_bisect,
-                                  want_scale)
+                                  want_scale, want_area)
+
+    def _area_s12(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1,
+                  salp2, calp2):
+        """Signed quadrilateral area S12 for the CANONICAL arrangement
+        (reference geodesic.c geod_geninverse_int:958-1014): the C4-series
+        integral A4 (B42 - B41) plus the spherical-excess term c2*alp12
+        via the tan(Gamma/2) formula for well-conditioned pairs."""
+        salp0 = salp1 * cbet1
+        t = salp1 * sbet1
+        calp0 = np.sqrt(calp1 * calp1 + t * t)
+        ssig1, csig1 = sbet1, calp1 * cbet1
+        ssig2, csig2 = sbet2, calp2 * cbet2
+        nrm1 = np.sqrt(ssig1 * ssig1 + csig1 * csig1)
+        nrm2 = np.sqrt(ssig2 * ssig2 + csig2 * csig2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ssig1n, csig1n = ssig1 / nrm1, csig1 / nrm1
+            ssig2n, csig2n = ssig2 / nrm2, csig2 / nrm2
+            k2 = calp0 * calp0 * self.ep2
+            eps = k2 / (2.0 * (1.0 + np.sqrt(1.0 + k2)) + k2)
+            A4 = self.a * self.a * calp0 * salp0 * self.e2
+            c4a = self._C4(eps)
+            B41 = _cos_series(c4a, ssig1n, csig1n)
+            B42 = _cos_series(c4a, ssig2n, csig2n)
+            S12 = np.where((calp0 != 0.0) & (salp0 != 0.0),
+                           A4 * (B42 - B41), 0.0)
+            # spherical excess alp12: tan(Gamma/2) formula when the
+            # longitude/latitude differences are small enough
+            # (geodesic.c:987-1005), else directly from the azimuths
+            somg1, comg1 = salp0 * sbet1, csig1
+            somg2, comg2 = salp0 * sbet2, csig2
+            somg12u = comg1 * somg2 - somg1 * comg2
+            comg12u = comg1 * comg2 + somg1 * somg2
+            h = np.sqrt(somg12u * somg12u + comg12u * comg12u)
+            ok = h > 0
+            somg12 = np.where(ok, somg12u / np.where(ok, h, 1.0), 0.0)
+            comg12 = np.where(ok, comg12u / np.where(ok, h, 1.0), 1.0)
+            domg12 = 1.0 + comg12
+            dbet1, dbet2 = 1.0 + cbet1, 1.0 + cbet2
+            alp12_g = 2.0 * np.arctan2(
+                somg12 * (sbet1 * dbet2 + sbet2 * dbet1),
+                domg12 * (sbet1 * sbet2 + dbet1 * dbet2))
+            salp12 = salp2 * calp1 - calp2 * salp1
+            calp12 = calp2 * calp1 + salp2 * salp1
+            fix = (salp12 == 0.0) & (calp12 < 0.0)
+            salp12 = np.where(fix, 1e-150 * calp1, salp12)
+            calp12 = np.where(fix, -1.0, calp12)
+            alp12_d = np.arctan2(salp12, calp12)
+            use_g = (salp0 != 0.0) & (comg12 > -0.7071) \
+                & ((sbet2 - sbet1) < 1.75)
+            alp12 = np.where(use_g, alp12_g, alp12_d)
+        return S12 + self.c2 * alp12
 
     def _inverse_impl(self, lon1, lat1, lon2, lat2, n_bisect: int = 52,
-                      want_scale: bool = False):
+                      want_scale: bool = False, want_area: bool = False):
         scalar_in = np.ndim(lon1) == 0 and np.ndim(lat1) == 0 \
             and np.ndim(lon2) == 0 and np.ndim(lat2) == 0
         lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
@@ -616,6 +757,50 @@ class GeodSolver:
         salp1, calp1 = np.sin(alp1), np.cos(alp1)
         s12, salp2, calp2, internals = self._final_state(
             sbet1, cbet1, sbet2, cbet2, salp1, calp1)
+
+        # meridian special case (reference geodesic.c:834-899): endpoints
+        # on one full meridian (lam ~ 0 or ~ pi, or starting at the pole).
+        # The general solver's open alpha1 bracket cannot reach the exact
+        # 0/pi azimuth, leaving ~1e-12 rad of azimuth noise that the area
+        # term c2*alp12 amplifies to ~100 m^2. Solve along the meridian
+        # directly; reject (keep the general solution) when the meridian
+        # path is past the conjugate point (m12 < 0 and sig12 >= 1),
+        # mirroring the reference's acceptance test.
+        mcand = (lam < 1e-12) | (lam > np.pi - 1e-12) \
+            | (sbet1 <= -1.0 + 1e-15)
+        if mcand.any():
+            slamm = np.sin(lam)
+            clamm = np.cos(lam)
+            sa1, ca1 = slamm, clamm
+            sa2, ca2 = np.zeros_like(lam), np.ones_like(lam)
+            ms1, mc1 = sbet1, ca1 * cbet1
+            ms2, mc2 = sbet2, cbet2
+            n1 = np.sqrt(ms1 * ms1 + mc1 * mc1)
+            n2 = np.sqrt(ms2 * ms2 + mc2 * mc2)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ms1n, mc1n = ms1 / n1, mc1 / n1
+                ms2n, mc2n = ms2 / n2, mc2 / n2
+                sigm = np.arctan2(
+                    np.maximum(mc1n * ms2n - ms1n * mc2n, 0.0),
+                    mc1n * mc2n + ms1n * ms2n)
+                calp0m = np.sqrt(ca1 * ca1 + (sa1 * sbet1) ** 2)
+                epsm, k2m = self._eps(calp0m * calp0m)
+                c1m = self._C1f(epsm)
+                s12m = (1.0 + _A1m1(epsm)) * (
+                    sigm + (_sin_series(c1m, ms2n, mc2n)
+                            - _sin_series(c1m, ms1n, mc1n))) * self.b
+                # reduced length for the acceptance test
+                dn1m = np.sqrt(1.0 + k2m * ms1n * ms1n)
+                dn2m = np.sqrt(1.0 + k2m * ms2n * ms2n)
+                m12m, _, _ = self._length_scale(epsm, k2m, ms1n, mc1n, dn1m,
+                                                ms2n, mc2n, dn2m, 0.0, sigm)
+            accept = mcand & ((sigm < 1.0) | (m12m >= 0.0))
+            if accept.any():
+                s12 = np.where(accept, s12m, s12)
+                salp1 = np.where(accept, sa1, salp1)
+                calp1 = np.where(accept, ca1, calp1)
+                salp2 = np.where(accept, sa2, salp2)
+                calp2 = np.where(accept, ca2, calp2)
         m12 = M12 = None
         if want_scale:
             eps, k2, ssig1, csig1, ssig2, csig2, sig12i = internals
@@ -649,6 +834,12 @@ class GeodSolver:
         # rows take a + 0.0 and swapped rows' azimuths feed arctan2
         # (ratio-invariant to the <=1-ulp blend wobble... signs exact).
         sw = 1.0 - 2.0 * swapp
+        if want_area:
+            S12 = self._area_s12(sbet1, cbet1, sbet2, cbet2,
+                                 salp1, calp1, salp2, calp2)
+            # restore the canonicalization signs, then normalize -0 to 0
+            S12 = S12 * (sw * lonsign * latsign) + 0.0
+            S12 = np.where(coincident, 0.0, S12)
         d1 = salp2 - salp1
         d2 = calp2 - calp1
         salp1u = (salp1 + d1 * swapp) * sw * lonsign
@@ -661,9 +852,14 @@ class GeodSolver:
             s12, azi1, azi2 = s12[0], azi1[0], azi2[0]
             if want_scale:
                 m12, M12 = m12[0], M12[0]
+            if want_area:
+                S12 = S12[0]
+        out = [s12, azi1, azi2]
         if want_scale:
-            return s12, azi1, azi2, m12, M12
-        return s12, azi1, azi2
+            out += [m12, M12]
+        if want_area:
+            out.append(S12)
+        return tuple(out) if len(out) > 3 else (s12, azi1, azi2)
 
 
 _SOLVERS: dict = {}

@@ -1450,22 +1450,76 @@ def q_geod_triangle_area(spark, sf_dir):
     return res.select("tid", "pa.perim_m", "pa.area_km")
 
 
-@q("geod_polygon_area_wgs84")
+# WGS84 authalic-sphere constants for the ellipsoidal-area bound oracle
+import numpy as _np_auth
+_WGS_ES = 1.0 - (1.0 - 1.0 / 298.257223563) ** 2
+_WGS_E = float(_np_auth.sqrt(_WGS_ES))
+_WGS_ONE_ES = 1.0 - _WGS_ES
+_WGS_QP = float(_WGS_ONE_ES * (1.0 / (1.0 - _WGS_ES)
+                - (0.5 / _WGS_E) * _np_auth.log((1.0 - _WGS_E)
+                                               / (1.0 + _WGS_E))))
+_R_AUTH = float(6378137.0 * _np_auth.sqrt(_WGS_QP / 2.0))
+
+
+def _auth_lat_sql(latcol: str) -> str:
+    q_ = _qsfn(f"sin(radians({latcol}))", _WGS_E, _WGS_ONE_ES)
+    return f"asin(LEAST(GREATEST({q_} / {C(_WGS_QP)}, -1.0), 1.0))"
+
+
+def _hav_auth(l1: str, p1: str, l2: str, p2: str) -> str:
+    """Haversine arc (m) on the authalic sphere; p1/p2 already radians."""
+    return (f"(2.0 * {C(_R_AUTH)} * asin(sqrt("
+            f"sin(({p2} - {p1}) / 2.0) * sin(({p2} - {p1}) / 2.0)"
+            f" + cos({p1}) * cos({p2})"
+            f" * sin((radians({l2}) - radians({l1})) / 2.0)"
+            f" * sin((radians({l2}) - radians({l1})) / 2.0))))")
+
+
+@q("geod_polygon_area_wgs84", f"""
+WITH {TRI_CTE},
+auth AS (
+  SELECT tid, lon1, lon2, lon3,
+         {_auth_lat_sql("lat1")} AS p1,
+         {_auth_lat_sql("lat2")} AS p2,
+         {_auth_lat_sql("lat3")} AS p3
+  FROM tri_pts
+),
+sides AS (
+  SELECT tid,
+         {_hav_auth("lon1", "p1", "lon2", "p2")} / {C(_R_AUTH)} AS sa,
+         {_hav_auth("lon2", "p2", "lon3", "p3")} / {C(_R_AUTH)} AS sb,
+         {_hav_auth("lon3", "p3", "lon1", "p1")} / {C(_R_AUTH)} AS sc
+  FROM auth
+)
+SELECT tid,
+       ROUND({C(_R_AUTH)} * {C(_R_AUTH)} * 4.0 * atan(sqrt(GREATEST(0.0,
+             tan((sa + sb + sc) / 4.0)
+           * tan(((sa + sb + sc) / 2.0 - sa) / 2.0)
+           * tan(((sa + sb + sc) / 2.0 - sb) / 2.0)
+           * tan(((sa + sb + sc) / 2.0 - sc) / 2.0)))) / 1000000.0, 0) AS auth_km2,
+       1 AS ok
+FROM sides
+""")
 def q_geod_polygon_area_wgs84(spark, sf_dir):
-    """Ellipsoidal polygon area over the same rings (WGS84, exact
-    Green's-theorem quadrature) — no ANSI-SQL oracle exists for the
-    ellipsoidal case (the reference computes it with the C4 area series,
-    geodesic.c:971-1014), so the driver records the rows-only check; the
-    ellipsoidal math itself is asserted against the reference's planimeter
-    fixtures in tests/test_geodesy.py."""
+    """Ellipsoidal polygon area (WGS84, the reference's C4 area series,
+    geodesic.c:958-1014) bounded by an independent SQL oracle: auth_km2
+    is the same ring's area on the AUTHALIC sphere (oracle: authalic
+    latitudes via qsfn + l'Huilier excess; engine: its own spherical
+    alp12 machinery — different formula, same quantity), and ok certifies
+    the ellipsoidal series area lies within 1% + 1e4 m^2 of the authalic
+    value (the authalic map is exactly equal-area; the residual is the
+    geodesic-vs-mapped-edge sliver, ~0.1% for these sub-3-degree rings).
+    Raw ellipsoidal values are asserted against the reference's
+    planimeter fixtures in tests/test_geodesy.py."""
     from pyspark.sql import functions as F
-    from .kernels.core import Ellipsoid
+    from .kernels.core import Ellipsoid, qsfn
     from .geodesy import rings_perimeter_area
 
     df = spark.sql(f"WITH {TRI_CTE} SELECT * FROM tri_pts")
     wgs84 = Ellipsoid(6378137.0, 6378137.0 * (1 - 1 / 298.257223563))
+    sph_auth = Ellipsoid(_R_AUTH, _R_AUTH)
 
-    @F.pandas_udf("struct<perim_m:double, area_m2:double>")
+    @F.pandas_udf("struct<auth_km2:double, ok:int>")
     def ring_agg(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series,
                  lat2: pd.Series, lon3: pd.Series, lat3: pd.Series) -> pd.DataFrame:
         r = np.pi / 180.0
@@ -1473,13 +1527,18 @@ def q_geod_polygon_area_wgs84(spark, sf_dir):
                          lon3.to_numpy(np.float64)], axis=1) * r
         lats = np.stack([lat1.to_numpy(np.float64), lat2.to_numpy(np.float64),
                          lat3.to_numpy(np.float64)], axis=1) * r
-        p, a = rings_perimeter_area(wgs84, lons, lats, panels=1)
-        return pd.DataFrame({"perim_m": np.round(p, 3),
-                             "area_m2": np.round(a, 0)})
+        _, a_ell = rings_perimeter_area(wgs84, lons, lats)
+        lats_auth = np.arcsin(np.clip(
+            qsfn(np.sin(lats), _WGS_E, _WGS_ONE_ES) / _WGS_QP, -1.0, 1.0))
+        _, a_auth = rings_perimeter_area(sph_auth, lons, lats_auth)
+        ok = (np.abs(np.abs(a_ell) - np.abs(a_auth))
+              <= 0.01 * np.abs(a_auth) + 1e4).astype(np.int32)
+        return pd.DataFrame({"auth_km2": np.round(np.abs(a_auth) / 1e6, 0),
+                             "ok": ok})
 
     res = df.select("tid", ring_agg("lon1", "lat1", "lon2", "lat2",
                                     "lon3", "lat3").alias("pa"))
-    return res.select("tid", "pa.perim_m", "pa.area_m2")
+    return res.select("tid", "pa.auth_km2", F.col("pa.ok").alias("ok"))
 
 
 # --- distortion factors (P5_FACTORS / `proj -S`, reference factors.cpp) ------

@@ -79,3 +79,33 @@ def test_sphere_matches_spherical_excess():
         total += np.sum(0.5 * (Af[1:] + Af[:-1]) * np.diff(lam))
     truth = 2 * np.pi * R * R - total
     assert a == pytest.approx(truth, abs=1000.0)  # truth itself is O(h^2) trapezoid
+
+
+def test_series_matches_quadrature():
+    """The C4-series area path (reference geodesic.c:958-1014) against the
+    independent Green's-theorem quadrature of the lune-area function —
+    two disjoint formulations of the same integral (the quadrature knows
+    nothing of the C4 expansion)."""
+    from proj_spark.geodesy import (_polygon_perimeter_area_quadrature,
+                                    rings_perimeter_area)
+    rng = np.random.default_rng(7)
+    for _ in range(12):
+        k = int(rng.integers(3, 7))
+        clon = rng.uniform(-170, 170)
+        clat = rng.uniform(-60, 60)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(0.2, 3.0)
+        lons = D(clon + rad * np.cos(ang))
+        lats = D(clat + rad * np.sin(ang))
+        p1, a1 = polygon_perimeter_area(WGS84, lons, lats)
+        p2, a2 = _polygon_perimeter_area_quadrature(WGS84, lons, lats)
+        assert p1 == pytest.approx(p2, abs=1e-3)
+        assert a1 == pytest.approx(a2, abs=max(1.0, abs(a2) * 1e-9))
+    # batched rings agree with the scalar path
+    lons = np.stack([D([1, 2, 3]), D([10, 11, 12])])
+    lats = np.stack([D([2, 1, 3]), D([12, 11, 13])])
+    p, a = rings_perimeter_area(WGS84, lons, lats)
+    for i in range(2):
+        ps, as_ = polygon_perimeter_area(WGS84, lons[i], lats[i])
+        assert p[i] == pytest.approx(ps, abs=1e-6)
+        assert a[i] == pytest.approx(as_, abs=1e-3)
