@@ -139,6 +139,14 @@ def _create_step(p: dict):
         else:
             raise KeyError(f"unsupported init file {target}")
         expanded = parse_proj_params(defn)[0]
+        # proj4 init rules (the reference's use_proj4_init_rules /
+        # PROJ_USE_PROJ4_INIT_RULES): +init= CRS expansions keep the
+        # traditional GIS axis order — drop a pure north/east ORDER swap
+        # (neu) the registry carries, but keep genuine projection axis
+        # conventions (wsu south-oriented TM etc.), which the legacy
+        # proj4 init files also carried
+        if str(expanded.get("axis", "")) == "neu":
+            expanded.pop("axis")
         for k, v in expanded.items():
             q.setdefault(k, v)
     op = create_operator(q)
@@ -164,7 +172,7 @@ _EPSG_STATIC = {
     4258: "+proj=longlat +ellps=GRS80",            # ETRS89 geographic
     4269: "+proj=longlat +ellps=GRS80",            # NAD83 geographic
     4277: "+proj=longlat +ellps=airy +towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894",  # OSGB36
-    4230: "+proj=longlat +ellps=intl +towgs84=-87,-98,-121",   # ED50 (ballpark)
+    4230: "+proj=longlat +datum=ED50",             # ED50
     3857: "+proj=webmerc +ellps=WGS84",            # Web Mercator
     4978: "+proj=geocent +ellps=WGS84",            # WGS84 geocentric
     2154: "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 +x_0=700000 +y_0=6600000 +ellps=GRS80",  # RGF93 / Lambert-93
@@ -177,9 +185,33 @@ _EPSG_STATIC = {
 }
 
 
+_EPSG_GENERATED: dict | None = None
+
+
+def _epsg_generated() -> dict:
+    """Lazy-loaded table compiled from the reference's published EPSG SQL
+    registry (tools/epsg_extract.py over data/sql/*.sql — 6,400+
+    geographic and projected CRS). The handcrafted entries above take
+    precedence (they carry curated towgs84 values)."""
+    global _EPSG_GENERATED
+    if _EPSG_GENERATED is None:
+        import gzip
+        import json
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "epsg.json.gz")
+        try:
+            with gzip.open(path, "rt", encoding="utf-8") as f:
+                _EPSG_GENERATED = json.load(f)
+        except OSError:
+            _EPSG_GENERATED = {}
+    return _EPSG_GENERATED
+
+
 def epsg_to_proj(code: int) -> str:
-    """EPSG code -> proj-string for the supported subset (reference analogue:
-    SQLite lookup in src/iso19111/factory.cpp, replaced per SURVEY.md §1.3)."""
+    """EPSG code -> proj-string (reference analogue: SQLite lookup in
+    src/iso19111/factory.cpp; here a handcrafted core + a table compiled
+    from the same published EPSG SQL, per SURVEY.md §1.3)."""
     if 32601 <= code <= 32660:  # WGS84 / UTM north
         return f"+proj=utm +zone={code - 32600} +ellps=WGS84"
     if 32701 <= code <= 32760:  # WGS84 / UTM south
@@ -189,6 +221,9 @@ def epsg_to_proj(code: int) -> str:
     if 26901 <= code <= 26923:  # NAD83 / UTM
         return f"+proj=utm +zone={code - 26900} +ellps=GRS80"
     s = _EPSG_STATIC.get(code)
+    if s:
+        return s
+    s = _epsg_generated().get(str(code))
     if not s:
         raise KeyError(f"EPSG:{code} not in static registry")
     return s

@@ -62,6 +62,13 @@ DATUM_TABLE = {
     # is a raster lookup, not a Helmert — a string value is the +nadgrids=
     # list, routed through the grid registry (never a silent null Helmert)
     "NAD27": ("clrk66", "@conus,@alaska,@ntv2_0.gsb,@ntv1_can.dat"),
+    # classic regional datums (proj4 epsg-init compatibility values, as
+    # published; used by the generated EPSG table so that same-datum
+    # pipeline steps carry IDENTICAL shifts and cancel exactly)
+    "ED50": ("intl", (-87.0, -96.0, -120.0)),
+    "NTF": ("clrk80ign", (-168.0, -60.0, 320.0)),
+    "HD72": ("GRS67", (52.17, -71.82, -14.9)),
+    "pulkovo42": ("krass", (23.92, -141.27, -80.9, 0.0, 0.35, 0.82, -0.12)),
 }
 
 # reference src/units.cpp (linear units, metres per unit)

@@ -474,20 +474,28 @@ class Pipeline:
 
     @property
     def left(self):
-        # first step with a concrete unit tag (pipeline.cpp pipeline_setup
-        # scans past WHATEVER steps)
+        # reference pipeline_setup (pipeline.cpp:571-637): steps that are
+        # WHATEVER on BOTH sides (push/pop, axisswap) inherit units from
+        # their neighbours; the pipeline's left is then the first step's
+        # left. A step with a one-sided tag (e.g. unitconvert grad->rad:
+        # left whatever, right radians) does NOT inherit — the pipeline
+        # presents whatever and the caller feeds raw values.
         for op, d in self.steps:
-            u = op.left if d == "forward" else op.right
-            if u != U_WHATEVER:
-                return u
+            ul = op.left if d == "forward" else op.right
+            ur = op.right if d == "forward" else op.left
+            if ul == U_WHATEVER and ur == U_WHATEVER:
+                continue  # inherits from the right neighbour
+            return ul
         return U_WHATEVER
 
     @property
     def right(self):
         for op, d in reversed(self.steps):
-            u = op.right if d == "forward" else op.left
-            if u != U_WHATEVER:
-                return u
+            ul = op.left if d == "forward" else op.right
+            ur = op.right if d == "forward" else op.left
+            if ul == U_WHATEVER and ur == U_WHATEVER:
+                continue  # inherits from the left neighbour
+            return ur
         return U_WHATEVER
 
     def input_units(self, direction):

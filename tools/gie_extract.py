@@ -284,13 +284,22 @@ def main():
                                                    "GDA.gie",
                                                    "DHDN_ETRS89.gie",
                                                    "nkg.gie",
-                                                   "gridshift.gie"])
+                                                   "gridshift.gie"]
+                    + [f"gigs/{n}" for n in (
+                        "5101.1-jhs.gie", "5101.2-jhs.gie", "5101.3-jhs.gie",
+                        "5101.4-jhs-etmerc.gie", "5102.1.gie", "5102.2.gie",
+                        "5103.1.gie", "5103.2.gie", "5103.3.gie", "5104.gie",
+                        "5105.2.gie", "5106.gie", "5107.gie", "5108.gie",
+                        "5109.gie", "5111.1.gie", "5112.gie", "5113.gie",
+                        "5201.gie", "5208.gie")])
     args = ap.parse_args()
 
     SUPPORTED_OPS.update(_supported_ops())
     all_records = []
     for name in args.files:
-        path = os.path.join(args.reference, "test", "gie", name)
+        sub = "gigs" if name.startswith("gigs/") else "gie"
+        path = os.path.join(args.reference, "test", sub,
+                            name.split("/", 1)[-1])
         if not os.path.exists(path):
             print(f"missing {path}", file=sys.stderr)
             continue
