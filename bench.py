@@ -39,6 +39,45 @@ HEADLINE = [
 ]
 
 
+def _kernel_microbench(n: int = 2_000_000) -> dict:
+    """Single-core kernel throughput (M pts/s), best-of-3 — the
+    compute-bound numbers the sf0.1 Spark walls are too overhead-dominated
+    to show (BASELINE.md bar: >= 5 M pts/s/core for tier-1 projections;
+    reference C single-thread: 1.6-4.4 M pts/s)."""
+    import numpy as np
+    import proj_spark
+    from proj_spark.kernels.core import Ellipsoid
+    from proj_spark.kernels.geodesic import GeodSolver
+
+    rng = np.random.default_rng(42)
+    lam = np.radians(rng.uniform(6.0, 12.0, n))
+    phi = np.radians(rng.uniform(-80.0, 84.0, n))
+    out = {}
+    for key, defn in (("webmerc", "+proj=webmerc"),
+                      ("utm", "+proj=utm +zone=32"),
+                      ("lcc", "+proj=lcc +lat_1=33 +lat_2=45"),
+                      ("cart", "+proj=cart")):
+        op = proj_spark.create(defn)
+        op.apply("forward", lam[:1000], phi[:1000], None, None)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            op.apply("forward", lam, phi, None, None)
+            best = min(best, time.perf_counter() - t0)
+        out[key] = round(n / best / 1e6, 2)
+    g = GeodSolver(Ellipsoid(6378137.0, 6356752.314245179))
+    lat2 = np.radians(rng.uniform(-80.0, 80.0, n))
+    lon2 = np.radians(rng.uniform(-180.0, 180.0, n))
+    g.inverse(lam[:1000], phi[:1000], lon2[:1000], lat2[:1000])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        g.inverse(lam, phi, lon2, lat2)
+        best = min(best, time.perf_counter() - t0)
+    out["karney_inverse"] = round(n / best / 1e6, 2)
+    return out
+
+
 def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = False):
     from proj_spark.session import get_spark
     from proj_spark import querylib
@@ -67,6 +106,7 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = False)
     point_q = ["webmerc_fwd", "utm_fwd", "lcc_fwd", "cart_fwd"]
     pts_per_sec = round(sum(n_points / timings[q] for q in point_q) / len(point_q))
     out = {
+        "kernel_mpts_per_sec_1core": _kernel_microbench(),
         "metric": "headline query suite wall time",
         "value": total,
         "unit": "sec",
