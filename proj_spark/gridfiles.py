@@ -67,6 +67,12 @@ class FileGrid:
         # grids.cpp fullWorldLongitude / pj_hgrid longitude wrap)
         self.global_lon = abs(self.dlon * self.width - 360.0) < 1e-8
 
+    @property
+    def bands(self):
+        """(has_lon, has_lat, has_z) band availability."""
+        return (self.dlon_as is not None, self.dlat_as is not None,
+                self.dz_m is not None)
+
     def _lon_rel(self, lon_deg):
         """Longitude -> grid-frame offset in [0, 360) degrees east of
         lon0. The modulo brings any ±n*360 alias into the grid frame
@@ -140,6 +146,63 @@ class FileGrid:
         return out
 
 
+    def interp_bq(self, lon_deg, lat_deg):
+        """Biquadratic (NOAA qterp) 3x3 interpolation — the reference's
+        default for the unified gridshift operator
+        (transformations/gridshift.cpp:472-535). NaN outside coverage or
+        when any window value is nodata."""
+        lon_deg = np.asarray(lon_deg, dtype=np.float64)
+        lat_deg = np.asarray(lat_deg, dtype=np.float64)
+        if self.width < 3 or self.height < 3:
+            return self.interp(lon_deg, lat_deg)
+        rel = self._lon_rel(lon_deg)
+        fx = np.nan_to_num(rel / self.dlon)
+        fy = np.nan_to_num((lat_deg - self.lat0) / self.dlat)
+        inside = self.contains(lon_deg, lat_deg) & np.isfinite(lon_deg) \
+            & np.isfinite(lat_deg)
+        if self.global_lon:
+            ix = np.floor(fx).astype(np.int64)
+            frx = fx - ix
+        else:
+            fx = np.where(fx > self.width - 1, 0.0, fx)
+            ix = np.clip(np.floor(fx), 0, self.width - 2).astype(np.int64)
+            frx = np.clip(fx - ix, 0.0, 1.0)
+        iy = np.clip(np.floor(fy), 0, self.height - 2).astype(np.int64)
+        fry = np.clip(fy - iy, 0.0, 1.0)
+        # window shift (gridshift.cpp:476-486)
+        shx = ((frx <= 0.5) & (ix > 0)) | (ix + 2 >= self.width)
+        ix = ix - shx
+        frx = frx + shx
+        shy = ((fry <= 0.5) & (iy > 0)) | (iy + 2 >= self.height)
+        iy = iy - shy
+        fry = fry + shy
+        ix = np.where(inside, ix, 0)
+        iy = np.where(inside, iy, 0)
+
+        def qterp(x, f0, f1, f2):
+            df0 = f1 - f0
+            d2f0 = (f2 - f1) - df0
+            return f0 + x * df0 + 0.5 * x * (x - 1.0) * d2f0
+
+        out = []
+        for band in (self.dlon_as, self.dlat_as, self.dz_m):
+            if band is None:
+                out.append(np.where(inside, 0.0, np.nan))
+                continue
+            rows = []
+            for j in range(3):
+                cols = []
+                for i in range(3):
+                    cc = ix + i
+                    if self.global_lon:
+                        cc = cc % self.width
+                    cols.append(band[iy + j, cc])
+                rows.append(qterp(frx, *cols))
+            v = qterp(fry, *rows)
+            out.append(np.where(inside, v, np.nan))
+        return out
+
+
 class GridSet:
     """Ordered collection of grids (NTv2 subgrids / +grids=a,b lists).
 
@@ -164,21 +227,63 @@ class GridSet:
             m = m | g.contains(lon_deg, lat_deg)
         return m
 
-    def interp(self, lon_deg, lat_deg):
+    @property
+    def bands(self):
+        out = [False, False, False]
+        for g in self.grids:
+            for b, h in enumerate(g.bands):
+                out[b] = out[b] or h
+        return tuple(out)
+
+    def interp(self, lon_deg, lat_deg, method: str | None = None):
+        """Per-BAND first-match resolution: a member grid only resolves the
+        bands it carries, so hybrid sets that split horizontal and vertical
+        components across members with different extents (NADCON5 GTiff:
+        lat/lon offsets in one IFD, ellipsoidal height in another) compose
+        correctly (reference gridshift.cpp picks the grid per component).
+        A band no member carries yields 0 inside overall coverage."""
         lon_deg = np.asarray(lon_deg, dtype=np.float64)
         lat_deg = np.asarray(lat_deg, dtype=np.float64)
         shape = np.broadcast(lon_deg, lat_deg).shape
         outs = [np.full(shape, np.nan) for _ in range(3)]
-        unresolved = np.ones(shape, dtype=bool)
+        unresolved = [np.ones(shape, dtype=bool) for _ in range(3)]
+        band_exists = [False, False, False]
+        covered = np.zeros(shape, dtype=bool)
         for g in self.grids:
-            take = unresolved & g.contains(lon_deg, lat_deg)
-            if not np.any(take):
+            has = g.bands  # (lon, lat, z) availability; nested sets union
+            if not any(has):
                 continue
-            vals = g.interp(lon_deg, lat_deg)
-            for o, v in zip(outs, vals):
-                o[take] = np.broadcast_to(v, shape)[take]
-            unresolved &= ~take
+            need = [u for h, u in zip(has, unresolved) if h]
+            pending = np.zeros(shape, dtype=bool)
+            for u in need:
+                pending |= u
+            if not pending.any():
+                continue
+            cont = g.contains(lon_deg, lat_deg)
+            covered |= cont
+            if isinstance(g, GridSet):
+                vals = g.interp(lon_deg, lat_deg, method=method)
+            else:
+                m = method or getattr(g, "interp_default", "") or "bilinear"
+                if m == "biquadratic":
+                    vals = g.interp_bq(lon_deg, lat_deg)
+                else:
+                    vals = g.interp(lon_deg, lat_deg)
+            for b in range(3):
+                if not has[b]:
+                    continue
+                band_exists[b] = True
+                take = unresolved[b] & cont
+                if take.any():
+                    outs[b][take] = np.broadcast_to(vals[b], shape)[take]
+                    unresolved[b] &= ~take
+        for b in range(3):
+            if not band_exists[b]:
+                outs[b] = np.where(covered, 0.0, np.nan)
         return outs
+
+    def interp_bq(self, lon_deg, lat_deg):
+        return self.interp(lon_deg, lat_deg, method="biquadratic")
 
 
 # ---------------------------------------------------------------------------
@@ -339,6 +444,8 @@ def load_grid_file(name: str):
         g = parse_ctable2(data, name)
     elif data[0:8] == b"NUM_OREC":
         g = parse_ntv2(data, name)
+    elif data[:2] in (b"II", b"MM"):
+        g = parse_gtiff(data, name)
     elif name.endswith(".gtx") or len(data) >= 40 and _looks_gtx(data):
         g = parse_gtx(data, name)
     else:
@@ -357,3 +464,341 @@ def _looks_gtx(data: bytes) -> bool:
             and -90 <= south <= 90 and -360 <= west <= 360
             and 0 < dlat < 90 and 0 < dlon < 90
             and len(data) >= 40 + 4 * rows * cols)
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF (PROJ-convention GTG: Geodetic TIFF Grids) reader
+# ---------------------------------------------------------------------------
+# Mirrors the reference's GTiffDataset/GTiffGrid readers (src/grids.cpp:
+# metadata parse :531-637, geokeys/extent :1195-1320, hgrid band selection
+# :2520-2640, vgrid candidates :1550-1580): classic little/big-endian TIFF,
+# strips or tiles, none/deflate compression with horizontal (2) and
+# floating-point (3) predictors, int/uint/float samples with per-band
+# scale/offset, chunky or separate planes, multiple IFDs as subgrids
+# ordered children-first via grid_name/parent_grid_name.
+
+_TIFF_DTYPES = {
+    (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+    (2, 16): "i2", (2, 32): "i4",
+    (3, 32): "f4", (3, 64): "f8",
+}
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8}
+
+
+def _tiff_ifds(data: bytes):
+    """Yield {tag: (type, values)} per IFD (classic TIFF)."""
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    magic, off = struct.unpack_from(bo + "HI", data, 2)
+    if magic == 43:
+        raise ValueError("BigTIFF not supported")
+    if magic != 42:
+        raise ValueError("not a TIFF")
+    seen = set()
+    while off and off not in seen:
+        seen.add(off)
+        n = struct.unpack_from(bo + "H", data, off)[0]
+        tags = {}
+        for i in range(n):
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", data, off + 2 + i * 12)
+            size = _TYPE_SIZES.get(typ, 1) * cnt
+            vpos = off + 2 + i * 12 + 8
+            if size > 4:
+                vpos = struct.unpack_from(bo + "I", data, vpos)[0]
+            if typ in (3,):
+                vals = struct.unpack_from(bo + f"{cnt}H", data, vpos)
+            elif typ in (4,):
+                vals = struct.unpack_from(bo + f"{cnt}I", data, vpos)
+            elif typ in (8,):
+                vals = struct.unpack_from(bo + f"{cnt}h", data, vpos)
+            elif typ in (9,):
+                vals = struct.unpack_from(bo + f"{cnt}i", data, vpos)
+            elif typ == 12:
+                vals = struct.unpack_from(bo + f"{cnt}d", data, vpos)
+            elif typ == 11:
+                vals = struct.unpack_from(bo + f"{cnt}f", data, vpos)
+            elif typ in (1, 6, 7):
+                vals = data[vpos:vpos + cnt]
+            elif typ == 2:
+                vals = data[vpos:vpos + cnt].split(b"\0")[0].decode(
+                    "utf-8", "replace")
+            elif typ == 5:
+                raw = struct.unpack_from(bo + f"{2 * cnt}I", data, vpos)
+                vals = tuple(raw[2 * i] / raw[2 * i + 1] if raw[2 * i + 1]
+                             else 0.0 for i in range(cnt))
+            else:
+                vals = data[vpos:vpos + size]
+            tags[tag] = (typ, vals)
+        off = struct.unpack_from(bo + "I", data, off + 2 + n * 12)[0]
+        yield bo, tags
+
+
+def _tag1(tags, tag, default=None):
+    if tag not in tags:
+        return default
+    v = tags[tag][1]
+    if isinstance(v, (tuple, list)):
+        return v[0] if v else default
+    return v
+
+
+def _parse_gdal_metadata(xml: str):
+    """GDAL_METADATA items -> {(sample, name): value} (sample -1 = dataset;
+    reference grids.cpp:556-614)."""
+    import re as _re
+    out = {}
+    for m in _re.finditer(
+            r"<Item\s+([^>]*)>([^<]*)</Item>", xml):
+        attrs, value = m.group(1), m.group(2).strip()
+        nm = _re.search(r'name="([^"]+)"', attrs)
+        if not nm:
+            continue
+        sm = _re.search(r'sample="(\d+)"', attrs)
+        sample = int(sm.group(1)) if sm else -1
+        out[(sample, nm.group(1))] = value
+        role = _re.search(r'role="(\w+)"', attrs)
+        if role:
+            out[(sample, "__role_" + role.group(1))] = value
+    return out
+
+
+def _undo_predictor(raw: np.ndarray, predictor: int, rows: int, cols: int,
+                    spp: int, itemsize: int, bo: str):
+    """Per-row predictor decode (TIFF 6.0 + TechNote: 2 = horizontal
+    difference over samples, 3 = floating-point byte-plane difference)."""
+    if predictor == 2:
+        a = raw.reshape(rows, cols, spp)
+        return np.cumsum(a.astype(np.int64), axis=1).astype(raw.dtype) \
+            .reshape(raw.shape) if False else \
+            np.cumsum(a, axis=1, dtype=raw.dtype).reshape(raw.shape)
+    if predictor == 3:
+        # bytes per row: delta-coded byte planes, MSB plane first
+        b = raw.view(np.uint8).reshape(rows, cols * spp * itemsize)
+        b = np.cumsum(b, axis=1, dtype=np.uint8)
+        planes = b.reshape(rows, itemsize, cols * spp)
+        le = np.transpose(planes[:, ::-1, :], (0, 2, 1))  # LSB-first bytes
+        flat = np.ascontiguousarray(le).reshape(rows, -1)
+        return flat.view("<" + raw.dtype.str[1:]).reshape(raw.shape)
+    return raw
+
+
+def _read_raster(data: bytes, bo: str, tags: dict, w: int, h: int, spp: int):
+    """Decode the full raster -> float64 array (h, w, spp)."""
+    import zlib
+    bits = tags[258][1] if 258 in tags else (32,)
+    sfmt = tags.get(339, (3, (3,) * spp))[1]
+    comp = _tag1(tags, 259, 1)
+    predictor = _tag1(tags, 317, 1)
+    planar = _tag1(tags, 284, 1)
+    dt0 = _TIFF_DTYPES.get((sfmt[0], bits[0]))
+    if dt0 is None:
+        raise ValueError(f"unsupported GTiff sample type {sfmt[0]}/{bits[0]}")
+    dtype = np.dtype(bo + dt0)
+    if comp not in (1, 8, 32946):
+        raise ValueError(f"unsupported GTiff compression {comp}")
+
+    def blocks(offs, cnts):
+        for o, c in zip(offs, cnts):
+            buf = data[o:o + c]
+            if comp in (8, 32946):
+                buf = zlib.decompress(buf)
+            yield buf
+
+    nplanes = spp if planar == 2 else 1
+    chans = spp if planar == 1 else 1
+    out = np.empty((h, w, spp), dtype=np.float64)
+    if 322 in tags:  # tiled
+        tw, th = _tag1(tags, 322), _tag1(tags, 323)
+        offs, cnts = tags[324][1], tags[325][1]
+        tiles_x = (w + tw - 1) // tw
+        tiles_y = (h + th - 1) // th
+        it = blocks(offs, cnts)
+        for plane in range(nplanes):
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    buf = next(it)
+                    a = np.frombuffer(buf, dtype=dtype,
+                                      count=tw * th * chans)
+                    a = _undo_predictor(a, predictor, th, tw, chans,
+                                        dtype.itemsize, bo)
+                    a = a.reshape(th, tw, chans).astype(np.float64)
+                    ys = min(th, h - ty * th)
+                    xs = min(tw, w - tx * tw)
+                    if planar == 2:
+                        out[ty * th:ty * th + ys, tx * tw:tx * tw + xs,
+                            plane] = a[:ys, :xs, 0]
+                    else:
+                        out[ty * th:ty * th + ys,
+                            tx * tw:tx * tw + xs, :] = a[:ys, :xs, :]
+    else:  # strips
+        rps = _tag1(tags, 278, h)
+        offs, cnts = tags[273][1], tags[279][1]
+        it = blocks(offs, cnts)
+        for plane in range(nplanes):
+            y = 0
+            while y < h:
+                ys = min(rps, h - y)
+                buf = next(it)
+                n_items = ys * w * chans
+                a = np.frombuffer(buf, dtype=dtype, count=n_items)
+                a = _undo_predictor(a, predictor, ys, w, chans,
+                                    dtype.itemsize, bo)
+                a = a.reshape(ys, w, chans).astype(np.float64)
+                if planar == 2:
+                    out[y:y + ys, :, plane] = a[:, :, 0]
+                else:
+                    out[y:y + ys, :, :] = a
+                y += ys
+    return out
+
+
+def parse_gtiff(data: bytes, name: str = "gtiff"):
+    """PROJ-convention GeoTIFF -> FileGrid or GridSet (see module notes)."""
+    grids = []
+    for bo, tags in _tiff_ifds(data):
+        subfile = _tag1(tags, 254, 0)
+        if subfile not in (0, 2):  # skip overviews (grids.cpp:1534)
+            continue
+        w, h = _tag1(tags, 256), _tag1(tags, 257)
+        spp = _tag1(tags, 277, 1)
+        md = _parse_gdal_metadata(tags[42112][1]) if 42112 in tags else {}
+        raster = _read_raster(data, bo, tags, w, h, spp)
+        # per-band scale/offset
+        for s in range(spp):
+            sc = md.get((s, "__role_scale"))
+            of = md.get((s, "__role_offset"))
+            if sc is not None or of is not None:
+                raster[:, :, s] = (raster[:, :, s]
+                                   * (float(sc) if sc else 1.0)
+                                   + (float(of) if of else 0.0))
+        nod = tags.get(42113)
+        if nod is not None:
+            try:
+                nd = float(str(nod[1]).strip())
+                raster[np.isclose(raster, nd)] = np.nan
+            except ValueError:
+                pass
+        # georeferencing (grids.cpp:1240-1320)
+        geokeys = tags.get(34735, (3, ()))[1]
+        pixel_is_area = False
+        geographic = True
+        for i in range(4, len(geokeys) - 3, 4):
+            if geokeys[i] == 1024 and geokeys[i + 3] == 1:
+                geographic = False
+            elif geokeys[i] == 1025 and geokeys[i + 3] == 1:
+                pixel_is_area = True
+        if 34264 in tags:
+            m = tags[34264][1]
+            west, hres = m[3], m[0]
+            north, vres = m[7], -m[5]
+        else:
+            ps = tags[33550][1]
+            tp = tags[33922][1]
+            hres, vres = ps[0], ps[1]
+            west = tp[3] - tp[0] * hres
+            north = tp[4] + tp[1] * vres
+        if pixel_is_area:
+            west += 0.5 * hres
+            north -= 0.5 * vres
+        south = north - vres * (h - 1)
+        # our FileGrid stores row 0 = south; TIFF row 0 = north (unless
+        # vres < 0, the bottom-up case)
+        if vres >= 0:
+            raster = raster[::-1, :, :]
+        else:
+            south, north = north, north - vres * (h - 1)
+
+        def item(s, key, default=""):
+            return md.get((s, key), default)
+
+        descs = [item(s, "DESCRIPTION") for s in range(spp)]
+        any_desc = any(descs)
+        vert_names = ("geoid_undulation", "vertical_offset", "hydroid_height",
+                      "ellipsoidal_height_offset")
+        kind = None
+        if spp >= 2 and (not any_desc or ("latitude_offset" in descs
+                                          and "longitude_offset" in descs)):
+            kind = "h"
+            ilat = descs.index("latitude_offset") if any_desc else 0
+            ilon = descs.index("longitude_offset") if any_desc else 1
+            # hybrid 3-band grids (NADCON5): horizontal + ellipsoidal
+            # height offset in one file (grids.cpp generic gridshift)
+            iz_h = next((i for i, d in enumerate(descs)
+                         if d in vert_names), None)
+        elif any(d in vert_names for d in descs):
+            kind = "v"
+            iz = next(i for i, d in enumerate(descs) if d in vert_names)
+        elif not any_desc and spp == 1:
+            kind = "v"
+            iz = 0
+        elif ("east_velocity" in descs and "north_velocity" in descs
+              and "up_velocity" in descs):
+            kind = "vel"
+        else:
+            raise ValueError(f"unrecognized GTiff band layout {descs}")
+
+        if kind == "h":
+            unit = item(ilat, "UNITTYPE") or "arc-second"
+            to_as = {"arc-second": 1.0, "arc-seconds per year": 1.0,
+                     "degree": 3600.0, "radian": _RAD2AS}[unit]
+            sgn = -1.0 if item(ilon, "positive_value") == "west" else 1.0
+            g = FileGrid(name, west, south, hres, abs(vres), w, h,
+                         dlon_as=sgn * raster[:, :, ilon] * to_as,
+                         dlat_as=raster[:, :, ilat] * to_as,
+                         dz_m=raster[:, :, iz_h] if iz_h is not None
+                         else None)
+        elif kind == "v":
+            g = FileGrid(name, west, south, hres, abs(vres), w, h,
+                         dz_m=raster[:, :, iz])
+        else:  # velocity: bands exposed raw (ve, vn, vu mm/yr)
+            ie = descs.index("east_velocity")
+            inn = descs.index("north_velocity")
+            iu = descs.index("up_velocity")
+            g = FileGrid(name, west, south, hres, abs(vres), w, h,
+                         dlon_as=raster[:, :, ie],
+                         dlat_as=raster[:, :, inn],
+                         dz_m=raster[:, :, iu])
+        if not geographic:
+            g.global_lon = False
+            g.geographic = False
+        g.grid_name = item(-1, "grid_name")
+        g.parent_name = item(-1, "parent_grid_name")
+        # per-grid preferred method (gridshift.cpp:337-341: explicit
+        # +interpolation > grid metadata > bilinear)
+        g.interp_default = item(-1, "interpolation_method")
+        grids.append(g)
+    if not grids:
+        raise ValueError("no usable grid IFD in GTiff file")
+    if len(grids) == 1:
+        return grids[0]
+    # children-first ordering (insertIntoHierarchy, grids.cpp:1378-1430):
+    # sort by hierarchy depth, deepest first; stable within a level
+    by_name = {g.grid_name: g for g in grids if g.grid_name}
+
+    def depth(g):
+        d, seen = 0, set()
+        while g.parent_name and g.parent_name in by_name \
+                and g.parent_name not in seen:
+            seen.add(g.parent_name)
+            g = by_name[g.parent_name]
+            d += 1
+        return d
+
+    if all(g.grid_name for g in grids):
+        order = sorted(range(len(grids)),
+                       key=lambda i: (-depth(grids[i]), i))
+    else:
+        # unnamed subgrids: hierarchy by extent containment (reference
+        # insertIntoHierarchy extent path) — smaller/finer grids are
+        # children and must be probed first
+        def span(g):
+            return g.dlon * (g.width - 1) * g.dlat * (g.height - 1)
+
+        order = sorted(range(len(grids)), key=lambda i: (span(grids[i]), i))
+    return GridSet(name, [grids[i] for i in order])

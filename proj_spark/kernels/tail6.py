@@ -338,21 +338,59 @@ class GridshiftUnified(Operator):
         self.grid = get_grid(str(self.params.get("grids", "synthetic_world")))
         self.no_z = "no_z_transform" in self.params
         self.multiplier = float(self.params.get("multiplier", 1.0))
+        # method resolution (reference gridshift.cpp:337-341): explicit
+        # +interpolation > the grid's own interpolation_method metadata >
+        # bilinear. Synthetic registry grids have no metadata, keeping
+        # their SQL-mirrored bilinear oracles.
+        self.method = self.params.get("interpolation")
+        if self.method is not None:
+            self.method = str(self.method)
+            if self.method not in ("bilinear", "biquadratic"):
+                raise ValueError("unsupported +interpolation")
+
+    def _effective_method(self) -> str:
+        if self.method:
+            return self.method
+        g = self.grid
+        from ..gridfiles import GridSet
+        if isinstance(g, GridSet):
+            if any(getattr(m, "interp_default", "") == "biquadratic"
+                   for m in g.grids):
+                return "biquadratic"
+            return "bilinear"
+        return getattr(g, "interp_default", "") or "bilinear"
+
+    def _interp(self, lam, phi):
+        g = self.grid
+        from ..gridfiles import GridSet
+        if isinstance(g, GridSet):
+            return g.interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG,
+                            method=self.method)
+        m = self.method or getattr(g, "interp_default", "") or "bilinear"
+        if m == "biquadratic" and hasattr(g, "interp_bq"):
+            return g.interp_bq(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
+        return g.interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
 
     def _fwd(self, lam, phi, z, t):
-        dlon_as, dlat_as, dz = self.grid.interp(lam * RAD_TO_DEG,
-                                                phi * RAD_TO_DEG)
+        dlon_as, dlat_as, dz = self._interp(lam, phi)
         s = DEG_TO_RAD / 3600.0
         out_z = z if self.no_z else z + self.multiplier * dz
         return lam + dlon_as * s, phi + dlat_as * s, out_z, t
 
     def _inv(self, lam, phi, z, t):
         s = DEG_TO_RAD / 3600.0
+        if self._effective_method() == "biquadratic":
+            # reference gridshift.cpp:647-658 (NOAA NCAT convention): NO
+            # iteration in the biquadratic reverse path — near cell /
+            # half-cell boundaries the interpolation window changes and
+            # the fixed point oscillates. One-shot: guess = in - shift(in)
+            dlon_as, dlat_as, dz = self._interp(lam, phi)
+            out_z = z if self.no_z else z - self.multiplier * dz
+            return lam - dlon_as * s, phi - dlat_as * s, out_z, t
         lam_c, phi_c = lam.copy(), phi.copy()
         dz = np.zeros_like(z)
         for _ in range(10):
-            dlon_as, dlat_as, dz = self.grid.interp(lam_c * RAD_TO_DEG,
-                                                    phi_c * RAD_TO_DEG)
+            dlon_as, dlat_as, dz = self._interp(lam_c, phi_c)
             lam_c = lam - dlon_as * s
             phi_c = phi - dlat_as * s
         out_z = z if self.no_z else z - self.multiplier * dz

@@ -70,6 +70,16 @@ def _grid_supported(name: str) -> bool:
                     return True
                 if cand.endswith(".gtx"):
                     return True
+                if head[:2] in (b"II", b"MM"):
+                    # GeoTIFF: loadable when the engine's parser accepts it
+                    # (classic TIFF, none/deflate, known band layout)
+                    try:
+                        from proj_spark.gridfiles import parse_gtiff
+                        with open(cand, "rb") as fh:
+                            parse_gtiff(fh.read(), name)
+                        return True
+                    except Exception:
+                        return False
                 return False
     return False
 
