@@ -220,19 +220,27 @@ def q_utm_fwd(spark, sf_dir):
 
 @q("utm_roundtrip", f"""
 WITH {ZONE_POINTS_CTE}
-SELECT pid, 1 AS lon_ok, 1 AS lat_ok
+SELECT pid,
+       CAST(ROUND(lon * 100000.0, 0) AS BIGINT) AS lon_e5,
+       CAST(ROUND(lat * 100000.0, 0) AS BIGINT) AS lat_e5,
+       1 AS lon_ok, 1 AS lat_ok
 FROM zpoints
 """)
 def q_utm_roundtrip(spark, sf_dir):
     # fwd∘inv drift must be < 1e-8 deg (~1 mm) per the north-star roundtrip
-    # bar; emitting the boolean keeps the cross-engine hash free of
-    # rounding-cliff flips (the raw 1e-9-deg assertion lives in pytest)
+    # bar. lon_e5/lat_e5 are VALUE-level: the oracle supplies the original
+    # coordinates independently, so the engine no longer certifies itself
+    # (inputs are exact multiples of 1e-5 deg, so the scaled BIGINT is
+    # drift-immune and ULP-exact across engines); the strict 1e-8 booleans
+    # keep the tight bar, and the raw 1e-9-deg assertion lives in pytest.
     from pyspark.sql import functions as F
     df = _sql_points(spark, ZONE_POINTS_CTE, "zpoints")
     rt = Pipeline([(_UTM32, "forward"), (_UTM32, "inverse")])
     df = apply_transform(df, rt, "lon", "lat", out_cols=("lon2", "lat2"))
     return df.select(
         "pid",
+        F.round(F.col("lon2") * 1e5, 0).cast("long").alias("lon_e5"),
+        F.round(F.col("lat2") * 1e5, 0).cast("long").alias("lat_e5"),
         (F.abs(F.col("lon2") - F.col("lon")) < 1e-8).cast("int").alias("lon_ok"),
         (F.abs(F.col("lat2") - F.col("lat")) < 1e-8).cast("int").alias("lat_ok"))
 
@@ -1005,17 +1013,26 @@ def q_hgridshift_fwd(spark, sf_dir):
 
 @q("hgridshift_roundtrip", f"""
 WITH {POINTS_CTE}
-SELECT pid, 1 AS ok FROM points
+SELECT pid,
+       CAST(ROUND(lon * 100000.0, 0) AS BIGINT) AS lon_e5,
+       CAST(ROUND(lat * 100000.0, 0) AS BIGINT) AS lat_e5,
+       1 AS ok
+FROM points
 """)
 def q_hgridshift_roundtrip(spark, sf_dir):
     # inverse is the reference's bounded fixed-point iteration
-    # (gridshift.cpp:594-640); drift must be < 1e-8 deg (~1 mm)
+    # (gridshift.cpp:594-640); drift must be < 1e-8 deg (~1 mm).
+    # lon_e5/lat_e5 are value-level vs the oracle's ORIGINAL coordinates
+    # (exact multiples of 1e-5 deg -> drift-immune BIGINT), so the inverse
+    # is checked against an independent value, not a constant-1 SQL.
     from pyspark.sql import functions as F
     df = _sql_points(spark, POINTS_CTE, "points")
     rt = Pipeline([(_HG, "forward"), (_HG, "inverse")])
     df = apply_transform(df, rt, "lon", "lat", out_cols=("lon2", "lat2"))
     return df.select(
         "pid",
+        F.round(F.col("lon2") * 1e5, 0).cast("long").alias("lon_e5"),
+        F.round(F.col("lat2") * 1e5, 0).cast("long").alias("lat_e5"),
         ((F.abs(F.col("lon2") - F.col("lon")) < 1e-8)
          & (F.abs(F.col("lat2") - F.col("lat")) < 1e-8)).cast("int").alias("ok"))
 
