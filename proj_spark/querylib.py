@@ -461,9 +461,109 @@ def q_tile_zxy(spark, sf_dir):
     return spark.sql(_TILE_SQL)
 
 
-# --- S2 cell assignment + counts (rows-only check; pytest covers semantics) --
+# --- S2 cell assignment + counts ----------------------------------------------
+# Full DuckDB oracle: the level-12 cell id needs only the top 12 bits of the
+# 30-bit Hilbert (i, j), i.e. FOUR 4-bit lookup steps; the 1024-entry
+# s2geometry lookup table is embedded as a list literal and the arithmetic
+# is done in HUGEINT to reproduce numpy's int64 two's-complement wrap for
+# faces 4-5. Cross-engine FP safety: a <=1-ulp libm difference moves
+# s*2^30 by ~1e-7, which only changes the LEVEL-12 cell if s*2^30 is within
+# 1e-7 of a multiple of 2^18 — probability ~4e-13 per coordinate.
 
-@q("s2_cell_counts")
+
+def _s2_oracle() -> str:
+    from .kernels.s2cell import _LOOKUP_POS
+    lp = "[" + ",".join(map(str, _LOOKUP_POS.tolist())) + "]"
+    d = repr(np.pi / 180.0)
+    # nibble shifts for lookup steps k=7..4 (i >> 4k)
+    sh = {7: 1 << 28, 6: 1 << 24, 5: 1 << 20, 4: 1 << 16}
+    steps = ""
+    prev = "(face % 2)"
+    for k in (7, 6, 5, 4):
+        steps += f""",
+h{k} AS (
+  SELECT *, lp[((i // {sh[k]}) % 16) * 64 + ((j // {sh[k]}) % 16) * 4
+               + {prev} + 1] AS v{k}
+  FROM {"ij, lut" if k == 7 else f"h{k + 1}"}
+)"""
+        prev = f"(v{k} % 4)"
+    return f"""
+WITH {POINTS_CTE},
+lut AS (SELECT {lp} AS lp),
+base AS (
+  SELECT pid, lon - 360.0 * FLOOR((lon + 180.0) / 360.0) AS lon_n, lat
+  FROM points
+),
+ang AS (
+  SELECT pid,
+         (CASE WHEN lon_n = -180.0 THEN 180.0 ELSE lon_n END) * {d} AS lam,
+         lat * {d} AS phi
+  FROM base
+),
+xyz AS (
+  SELECT pid, cos(phi) * cos(lam) AS x, cos(phi) * sin(lam) AS y,
+         sin(phi) AS z
+  FROM ang
+),
+fx AS (
+  SELECT pid, x, y, z,
+         CASE WHEN abs(x) > abs(y)
+              THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+              ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS f0
+  FROM xyz
+),
+fuv AS (
+  SELECT pid, x, y, z,
+         f0 + CASE WHEN (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+                   THEN 3 ELSE 0 END AS face
+  FROM fx
+),
+uv AS (
+  SELECT pid, face,
+         CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y WHEN 2 THEN -x / z
+                   WHEN 3 THEN z / x WHEN 4 THEN z / y ELSE -y / z END AS u,
+         CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN -y / z
+                   WHEN 3 THEN y / x WHEN 4 THEN -x / y ELSE -x / z END AS v
+  FROM fuv
+),
+st AS (
+  SELECT pid, face,
+         CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+              ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+         CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+              ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
+  FROM uv
+),
+ij AS (
+  SELECT pid, face,
+         LEAST(GREATEST(CAST(FLOOR(s * 1073741824.0) AS BIGINT), 0),
+               1073741823) AS i,
+         LEAST(GREATEST(CAST(FLOOR(t * 1073741824.0) AS BIGINT), 0),
+               1073741823) AS j
+  FROM st
+){steps},
+ids AS (
+  SELECT pid,
+         CAST(face AS HUGEINT) * 2305843009213693952
+         + CAST((v7 // 4) * 72057594037927936 + (v6 // 4) * 281474976710656
+                + (v5 // 4) * 1099511627776 + (v4 // 4) * 4294967296
+                AS HUGEINT) * 2 AS idh
+  FROM h4
+),
+cells AS (
+  SELECT pid,
+         (idh // 137438953472) * 137438953472 + 68719476736 AS ch
+  FROM ids
+)
+SELECT CAST(ch - CASE WHEN ch >= 9223372036854775808
+                      THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS cell,
+       COUNT(*) AS n_docs
+FROM cells
+GROUP BY 1
+"""
+
+
+@q("s2_cell_counts", _s2_oracle())
 def q_s2_cell_counts(spark, sf_dir):
     from pyspark.sql import functions as F
     from .kernels import s2cell
