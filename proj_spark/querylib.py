@@ -1404,6 +1404,16 @@ def q_lang_id(spark, sf_dir):
     return spark.sql(textops.lang_id_sql())
 
 
+@q("ngram_jaccard_pairs", textops.ngram_jaccard_sql("duck"))
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return spark.sql(textops.ngram_jaccard_sql("spark"))
+
+
+@q("token_counts", textops.token_count_sql("duck"))
+def q_token_counts(spark, sf_dir):
+    return spark.sql(textops.token_count_sql("spark"))
+
+
 # --- embedding near-dup (cosine >= threshold pairs) --------------------------
 
 @q("embedding_near_dup", """

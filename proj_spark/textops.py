@@ -232,3 +232,61 @@ SELECT doc_id, {best} AS lang_pred,
        CAST(score_en AS BIGINT) AS n_en_markers
 FROM scored
 """
+
+
+# --- exact n-gram Jaccard near-dup (inverted-index equi-join) ----------------
+
+def ngram_jaccard_sql(dialect: str) -> str:
+    """EXACT word-3-gram Jaccard >= 0.6 pairs — the deterministic baseline
+    the MinHash-LSH path approximates. Candidate generation is an
+    inverted-index equi-join on the shingle itself (one shuffle keyed by
+    shingle), so cost is sum over shingles of df^2, never |docs|^2.
+    Scale lever at 100 TB: stopword-like shingles with huge df dominate
+    that sum while contributing almost nothing to any pair's Jaccard —
+    production pipelines cap df (drop shingles with df > K) or salt the
+    hot shingles; AQE skew-join handles the residual imbalance. Kept
+    uncapped here so the semantics stay exactly "Jaccard of the full
+    shingle sets"."""
+    words = WORDS_SPARK if dialect == "spark" else WORDS_DUCK
+    return f"""
+WITH {DUP_DOCS_CTE}, {words}, {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_sets GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS ni
+  FROM sh_sets s1
+  JOIN sh_sets s2 ON s2.sh = s1.sh AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT i.id1, i.id2,
+       ROUND(CAST(i.ni AS DOUBLE) / (n1.n + n2.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN sizes n1 ON n1.doc_id = i.id1
+JOIN sizes n2 ON n2.doc_id = i.id2
+WHERE CAST(i.ni AS DOUBLE) / (n1.n + n2.n - i.ni) >= 0.6
+"""
+
+
+# --- token counting (whitespace + BPE-style pre-tokenizer regex) -------------
+
+# GPT-2-style pre-tokenizer: contraction suffixes, space-prefixed letter
+# runs, space-prefixed digit runs, space-prefixed punctuation runs. Both
+# Java regex (Spark) and RE2 (DuckDB) use leftmost-first alternation, so
+# the token boundaries agree across engines.
+_BPE_PATTERN = "''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def token_count_sql(dialect: str) -> str:
+    """Per-doc token counts: whitespace tokens (split on single space, the
+    corpus delimiter) and BPE-ish pre-tokenizer matches. Pure JVM/native
+    string expressions — no Python in either engine."""
+    if dialect == "spark":
+        bpe = f"regexp_count(text, '{_BPE_PATTERN}')"
+    else:
+        bpe = f"length(regexp_extract_all(text, '{_BPE_PATTERN}'))"
+    return f"""
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+         AS n_ws_tokens,
+       CAST({bpe} AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
