@@ -66,6 +66,13 @@ class FileGrid:
         # the seam column wraps back to column 0 (reference
         # grids.cpp fullWorldLongitude / pj_hgrid longitude wrap)
         self.global_lon = abs(self.dlon * self.width - 360.0) < 1e-8
+        # projected-CRS grid (reference ExtentAndRes.isGeographic false):
+        # axes are easting/northing metres — no 360-deg wrap, offsets in
+        # metres; parse_gtiff flips this on from the ModelType geokey
+        self.projected = False
+        # per-axis constant offset added AFTER interpolation on fwd /
+        # removed from input on inv (gridshift.cpp:846-847, 863-864)
+        self.const_xy = (0.0, 0.0)
 
     @property
     def bands(self):
@@ -76,14 +83,20 @@ class FileGrid:
     def _lon_rel(self, lon_deg):
         """Longitude -> grid-frame offset in [0, 360) degrees east of
         lon0. The modulo brings any ±n*360 alias into the grid frame
-        (reference normalizes input longitude into the grid's extent)."""
-        return (np.asarray(lon_deg, dtype=np.float64) - self.lon0) % 360.0
+        (reference normalizes input longitude into the grid's extent);
+        projected grids use the plain easting difference — no wrap."""
+        x = np.asarray(lon_deg, dtype=np.float64) - self.lon0
+        return x if self.projected else x % 360.0
 
     def contains(self, lon_deg, lat_deg):
-        eps = 1e-9
+        eps = 1e-7 * max(self.dlon, self.dlat) if self.projected else 1e-9
         lat_deg = np.asarray(lat_deg, dtype=np.float64)
         lat_in = ((lat_deg >= self.lat0 - eps)
                   & (lat_deg <= self.lat0 + self.dlat * (self.height - 1) + eps))
+        if self.projected:
+            rel = self._lon_rel(lon_deg)
+            return (rel >= -eps) & (rel <= self.dlon * (self.width - 1) + eps) \
+                & lat_in
         if self.global_lon:
             return np.broadcast_to(lat_in, np.broadcast(
                 np.asarray(lon_deg), lat_deg).shape).copy()
@@ -110,6 +123,13 @@ class FileGrid:
             c0 = base.astype(np.int64) % self.width
             c1 = (c0 + 1) % self.width
             wx = np.clip(fx - base, 0.0, 1.0)
+        elif self.projected:
+            # no 360-wrap aliasing in projected frames: clamp to the
+            # east edge (outside points are gated by `inside` anyway)
+            fx = np.minimum(fx, float(self.width - 1))
+            c0 = np.clip(np.floor(fx), 0, self.width - 2).astype(np.int64)
+            c1 = c0 + 1
+            wx = np.clip(fx - c0, 0.0, 1.0)
         else:
             # rel ~ 360 (eps west of lon0) clamps to the first cell
             fx = np.where(fx > self.width - 1, 0.0, fx)
@@ -164,7 +184,10 @@ class FileGrid:
             ix = np.floor(fx).astype(np.int64)
             frx = fx - ix
         else:
-            fx = np.where(fx > self.width - 1, 0.0, fx)
+            if self.projected:
+                fx = np.minimum(fx, float(self.width - 1))
+            else:
+                fx = np.where(fx > self.width - 1, 0.0, fx)
             ix = np.clip(np.floor(fx), 0, self.width - 2).astype(np.int64)
             frx = np.clip(fx - ix, 0.0, 1.0)
         iy = np.clip(np.floor(fy), 0, self.height - 2).astype(np.int64)
@@ -484,33 +507,45 @@ _TIFF_DTYPES = {
 }
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-               10: 8, 11: 4, 12: 8}
+               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 
 
 def _tiff_ifds(data: bytes):
-    """Yield {tag: (type, values)} per IFD (classic TIFF)."""
+    """Yield {tag: (type, values)} per IFD. Classic TIFF (magic 42, 4-byte
+    offsets, 12-byte entries) and BigTIFF (magic 43, 8-byte offsets,
+    20-byte entries, LONG8/SLONG8/IFD8 types 16/17/18), both endians."""
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
         bo = ">"
     else:
         raise ValueError("not a TIFF")
-    magic, off = struct.unpack_from(bo + "HI", data, 2)
+    magic = struct.unpack_from(bo + "H", data, 2)[0]
     if magic == 43:
-        raise ValueError("BigTIFF not supported")
-    if magic != 42:
+        offsize, pad = struct.unpack_from(bo + "HH", data, 4)
+        if offsize != 8 or pad != 0:
+            raise ValueError("malformed BigTIFF header")
+        off = struct.unpack_from(bo + "Q", data, 8)[0]
+        nfmt, entsz, inline, ofmt = "Q", 20, 8, "Q"
+        cntfmt, hdrsz = "HHQ", 8
+    elif magic == 42:
+        off = struct.unpack_from(bo + "I", data, 4)[0]
+        nfmt, entsz, inline, ofmt = "H", 12, 4, "I"
+        cntfmt, hdrsz = "HHI", 2
+    else:
         raise ValueError("not a TIFF")
     seen = set()
     while off and off not in seen:
         seen.add(off)
-        n = struct.unpack_from(bo + "H", data, off)[0]
+        n = struct.unpack_from(bo + nfmt, data, off)[0]
         tags = {}
         for i in range(n):
-            tag, typ, cnt = struct.unpack_from(bo + "HHI", data, off + 2 + i * 12)
+            tag, typ, cnt = struct.unpack_from(bo + cntfmt,
+                                               data, off + hdrsz + i * entsz)
             size = _TYPE_SIZES.get(typ, 1) * cnt
-            vpos = off + 2 + i * 12 + 8
-            if size > 4:
-                vpos = struct.unpack_from(bo + "I", data, vpos)[0]
+            vpos = off + hdrsz + i * entsz + (entsz - inline)
+            if size > inline:
+                vpos = struct.unpack_from(bo + ofmt, data, vpos)[0]
             if typ in (3,):
                 vals = struct.unpack_from(bo + f"{cnt}H", data, vpos)
             elif typ in (4,):
@@ -532,10 +567,14 @@ def _tiff_ifds(data: bytes):
                 raw = struct.unpack_from(bo + f"{2 * cnt}I", data, vpos)
                 vals = tuple(raw[2 * i] / raw[2 * i + 1] if raw[2 * i + 1]
                              else 0.0 for i in range(cnt))
+            elif typ in (16, 18):
+                vals = struct.unpack_from(bo + f"{cnt}Q", data, vpos)
+            elif typ == 17:
+                vals = struct.unpack_from(bo + f"{cnt}q", data, vpos)
             else:
                 vals = data[vpos:vpos + size]
             tags[tag] = (typ, vals)
-        off = struct.unpack_from(bo + "I", data, off + 2 + n * 12)[0]
+        off = struct.unpack_from(bo + ofmt, data, off + hdrsz + n * entsz)[0]
         yield bo, tags
 
 
@@ -731,6 +770,12 @@ def parse_gtiff(data: bytes, name: str = "gtiff"):
             # height offset in one file (grids.cpp generic gridshift)
             iz_h = next((i for i, d in enumerate(descs)
                          if d in vert_names), None)
+        elif "easting_offset" in descs and "northing_offset" in descs:
+            # projected-CRS horizontal grid in metres
+            # (gridshift.cpp:274-290)
+            kind = "hm"
+            ie_m = descs.index("easting_offset")
+            in_m = descs.index("northing_offset")
         elif any(d in vert_names for d in descs):
             kind = "v"
             iz = next(i for i, d in enumerate(descs) if d in vert_names)
@@ -741,7 +786,9 @@ def parse_gtiff(data: bytes, name: str = "gtiff"):
               and "up_velocity" in descs):
             kind = "vel"
         else:
-            raise ValueError(f"unrecognized GTiff band layout {descs}")
+            # non-offset IFD (e.g. *_offset_accuracy companion rasters):
+            # the reference only consumes recognized offset bands — skip
+            continue
 
         if kind == "h":
             unit = item(ilat, "UNITTYPE") or "arc-second"
@@ -753,6 +800,15 @@ def parse_gtiff(data: bytes, name: str = "gtiff"):
                          dlat_as=raster[:, :, ilat] * to_as,
                          dz_m=raster[:, :, iz_h] if iz_h is not None
                          else None)
+        elif kind == "hm":
+            sgn_e = -1.0 if item(ie_m, "positive_value") == "west" else 1.0
+            sgn_n = -1.0 if item(in_m, "positive_value") == "south" else 1.0
+            g = FileGrid(name, west, south, hres, abs(vres), w, h,
+                         dlon_as=sgn_e * raster[:, :, ie_m],
+                         dlat_as=sgn_n * raster[:, :, in_m])
+            g.offset_unit = "metre"
+            g.const_xy = (float(item(ie_m, "constant_offset", 0.0) or 0.0),
+                          float(item(in_m, "constant_offset", 0.0) or 0.0))
         elif kind == "v":
             g = FileGrid(name, west, south, hres, abs(vres), w, h,
                          dz_m=raster[:, :, iz])
@@ -767,6 +823,7 @@ def parse_gtiff(data: bytes, name: str = "gtiff"):
         if not geographic:
             g.global_lon = False
             g.geographic = False
+            g.projected = True
         g.grid_name = item(-1, "grid_name")
         g.parent_name = item(-1, "parent_grid_name")
         # per-grid preferred method (gridshift.cpp:337-341: explicit

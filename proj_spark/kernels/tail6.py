@@ -338,6 +338,20 @@ class GridshiftUnified(Operator):
         self.grid = get_grid(str(self.params.get("grids", "synthetic_world")))
         self.no_z = "no_z_transform" in self.params
         self.multiplier = float(self.params.get("multiplier", 1.0))
+        # projected-CRS grids (easting/northing offsets in metres): io
+        # units become PROJECTED and interpolation runs in the raw x/y
+        # frame (reference gridshift.cpp:1003-1004); the per-axis
+        # constant_offset is added after the shift on fwd and removed
+        # from the input on inv (gridshift.cpp:846-847, 863-864)
+        members = getattr(self.grid, "grids", [self.grid])
+        self.proj_grid = any(getattr(m, "projected", False) for m in members)
+        self.const_xy = next((m.const_xy for m in members
+                              if any(getattr(m, "const_xy", (0, 0)))),
+                             (0.0, 0.0))
+        if self.proj_grid:
+            from ..ops import U_PROJECTED
+            self.left = U_PROJECTED
+            self.right = U_PROJECTED
         # method resolution (reference gridshift.cpp:337-341): explicit
         # +interpolation > the grid's own interpolation_method metadata >
         # bilinear. Synthetic registry grids have no metadata, keeping
@@ -361,24 +375,30 @@ class GridshiftUnified(Operator):
         return getattr(g, "interp_default", "") or "bilinear"
 
     def _interp(self, lam, phi):
+        # projected grids interpolate in the raw x/y metre frame
+        k = 1.0 if self.proj_grid else RAD_TO_DEG
         g = self.grid
         from ..gridfiles import GridSet
         if isinstance(g, GridSet):
-            return g.interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG,
-                            method=self.method)
+            return g.interp(lam * k, phi * k, method=self.method)
         m = self.method or getattr(g, "interp_default", "") or "bilinear"
         if m == "biquadratic" and hasattr(g, "interp_bq"):
-            return g.interp_bq(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
-        return g.interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
+            return g.interp_bq(lam * k, phi * k)
+        return g.interp(lam * k, phi * k)
 
     def _fwd(self, lam, phi, z, t):
         dlon_as, dlat_as, dz = self._interp(lam, phi)
-        s = DEG_TO_RAD / 3600.0
+        # geographic grids: arcsec -> radians; projected: metres, raw
+        s = 1.0 if self.proj_grid else DEG_TO_RAD / 3600.0
+        cx, cy = self.const_xy
         out_z = z if self.no_z else z + self.multiplier * dz
-        return lam + dlon_as * s, phi + dlat_as * s, out_z, t
+        return (lam + dlon_as * s + cx, phi + dlat_as * s + cy, out_z, t)
 
     def _inv(self, lam, phi, z, t):
-        s = DEG_TO_RAD / 3600.0
+        s = 1.0 if self.proj_grid else DEG_TO_RAD / 3600.0
+        cx, cy = self.const_xy
+        lam = lam - cx
+        phi = phi - cy
         if self._effective_method() == "biquadratic":
             # reference gridshift.cpp:647-658 (NOAA NCAT convention): NO
             # iteration in the biquadratic reverse path — near cell /

@@ -154,7 +154,11 @@ def parse_gie(path: str) -> list[dict]:
     def flush_op():
         nonlocal op_def, collecting_op
         if op_lines:
-            op_def = " ".join(" ".join(op_lines).split())
+            # drop the line-continuation backslashes (gie.cpp joins
+            # continuations before tokenizing, so "pipeline\" is the
+            # operator name "pipeline")
+            joined = " ".join(ln.rstrip("\\") for ln in op_lines)
+            op_def = " ".join(joined.split())
         op_lines.clear()
         collecting_op = False
 
