@@ -136,7 +136,14 @@ def knn_join(spark, queries: DataFrame, points: DataFrame, k: int = 5,
 
     ok = cand.join(stats.filter("certified").select("qid"), on="qid")
     bad_q = (queries.join(stats.filter("certified").select("qid"), on="qid",
-                          how="left_anti"))
+                          how="left_anti")
+                    # escalation volume is the scale hazard of this plan
+                    # (unbounded if many queries land in sparse regions):
+                    # surface it as a named observed metric so production
+                    # monitoring sees it without a second action —
+                    # QueryExecutionListener / q.observedMetrics exposes
+                    # {"count": n} after the run
+                    .observe("knn_escalations", F.count(F.lit(1)).alias("count")))
 
     # escalation: brute force for uncertified queries (rare; exact)
     brute = (points.crossJoin(F.broadcast(bad_q))
