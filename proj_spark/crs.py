@@ -97,9 +97,29 @@ def parse_proj_params(s: str) -> list[dict]:
     return out
 
 
+_WKT_ROOTS = ("GEOGCRS", "GEODCRS", "GEOGCS", "GEODETICCRS", "PROJCRS",
+              "PROJCS", "PROJECTEDCRS", "BOUNDCRS")
+
+
+def normalize_crs_def(defn: str) -> str:
+    """Accept proj-string / EPSG:code / WKT1 / WKT2 / PROJJSON, return a
+    proj-string (reference proj_create's input dispatch,
+    4D_api.cpp + io.cpp createFromUserInput)."""
+    s = defn.strip()
+    if s.startswith("{"):
+        from .wktio import from_projjson
+        return from_projjson(s)
+    head = re.split(r"[\[\(]", s, 1)[0].strip().upper()
+    if head in _WKT_ROOTS:
+        from .wktio import from_wkt
+        return from_wkt(s)
+    return s
+
+
 def create(defn: str):
-    """proj-string -> Operator or Pipeline (the engine's proj_create)."""
-    defn = defn.strip()
+    """proj-string / EPSG / WKT / PROJJSON -> Operator or Pipeline (the
+    engine's proj_create)."""
+    defn = normalize_crs_def(defn)
     if defn.upper().startswith("EPSG:"):
         defn = epsg_to_proj(int(defn.split(":")[1]))
     steps = parse_proj_params(defn)
@@ -254,6 +274,7 @@ _GEOGRAPHIC_PROJS = ("longlat", "latlong", "lonlat", "latlon")
 def crs_is_geographic(crs: str) -> bool:
     """True when the CRS's coordinates are lon/lat degrees (the reference's
     proj_angular_input/output distinction, src/4D_api.cpp:81-118)."""
+    crs = normalize_crs_def(crs)
     d = epsg_to_proj(int(crs.split(":")[1])) if crs.upper().startswith("EPSG:") else crs
     steps = parse_proj_params(d)
     return steps[0].get("proj") in _GEOGRAPHIC_PROJS
@@ -273,6 +294,8 @@ def create_crs_to_crs(src: str, dst: str) -> Pipeline:
     engine universally uses GIS (lon,lat) order (axis normalization the
     reference applies via proj_normalize_for_visualization).
     """
+    src = normalize_crs_def(src)
+    dst = normalize_crs_def(dst)
     src_def = epsg_to_proj(int(src.split(":")[1])) if src.upper().startswith("EPSG:") else src
     dst_def = epsg_to_proj(int(dst.split(":")[1])) if dst.upper().startswith("EPSG:") else dst
     src_steps = parse_proj_params(src_def)
