@@ -472,7 +472,9 @@ def load_grid_file(name: str):
     elif name.endswith(".gtx") or len(data) >= 40 and _looks_gtx(data):
         g = parse_gtx(data, name)
     else:
-        raise ValueError(f"unrecognized grid format for {name!r}")
+        from .errors import ProjError, INVALID_OP_FILE_NOT_FOUND_OR_INVALID
+        raise ProjError(f"unrecognized grid format for {name!r}",
+                        INVALID_OP_FILE_NOT_FOUND_OR_INVALID)
     _FILE_GRID_CACHE[name] = g
     return g
 

@@ -309,6 +309,10 @@ class Affine(Operator):
         self.tscale = g("tscale", 1.0)
         det = np.linalg.det(self.m)
         self.minv = np.linalg.inv(self.m) if det != 0 else None
+        # errno-parity flag (errors.classify_failure): a singular matrix
+        # or tscale=0 has NO inverse (reference affine.cpp inverse guards
+        # -> PROJ_ERR_OTHER_NO_INVERSE_OP)
+        self.inverse_invalid = self.minv is None or self.tscale == 0.0
 
     def _fwd(self, x, y, z, t):
         m = self.m

@@ -70,7 +70,9 @@ class S2(Operator):
     def setup(self):
         profile = str(self.params.get("UVtoST", "quadratic"))
         if profile not in ("linear", "quadratic", "tangent", "none"):
-            raise ValueError("s2 +UVtoST must be linear|quadratic|tangent|none")
+            from ..errors import ProjError, INVALID_OP_ILLEGAL_ARG_VALUE
+            raise ProjError("s2 +UVtoST must be linear|quadratic|tangent|none",
+                            INVALID_OP_ILLEGAL_ARG_VALUE)
         self.profile = profile
         self.face = _face_from_center(self.phi0, self.lam0)
         # cancel the generic central-meridian subtraction (from_greenwich

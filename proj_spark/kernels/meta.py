@@ -48,8 +48,11 @@ class ObTran(Operator):
         if self.link.left != U_RADIANS:
             # the reference's link->fwd (2D LP->XY) is null for 4D-only
             # operators like helmert -> "no forward/inverse operation"
-            raise ValueError(
-                f"ob_tran sub-projection {o_proj} has no 2D LP kernel")
+            # (gie expects errno no_inverse_op on the inverse attempt)
+            from ..errors import ProjError, NO_INVERSE_OP
+            raise ProjError(
+                f"ob_tran sub-projection {o_proj} has no 2D LP kernel",
+                NO_INVERSE_OP)
 
         def ang(key, default=0.0):
             return parse_angle(p.get(key, default)) * DEG_TO_RAD

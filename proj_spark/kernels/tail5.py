@@ -230,7 +230,9 @@ class Labrd(Operator):
 
     def setup(self):
         if self.phi0 == 0.0:
-            raise ValueError("labrd +lat_0 must be non-zero")
+            from ..errors import ProjError, INVALID_OP_ILLEGAL_ARG_VALUE
+            raise ProjError("labrd +lat_0 must be non-zero",
+                            INVALID_OP_ILLEGAL_ARG_VALUE)
         es, e, one_es = self.ell.es, self.ell.e, self.ell.one_es
         Az = parse_angle(self.params.get("azi", 0.0)) * DEG_TO_RAD
         sinp = np.sin(self.phi0)

@@ -360,7 +360,9 @@ class GridshiftUnified(Operator):
         if self.method is not None:
             self.method = str(self.method)
             if self.method not in ("bilinear", "biquadratic"):
-                raise ValueError("unsupported +interpolation")
+                from ..errors import ProjError, INVALID_OP_ILLEGAL_ARG_VALUE
+                raise ProjError("unsupported +interpolation",
+                                INVALID_OP_ILLEGAL_ARG_VALUE)
 
     def _effective_method(self) -> str:
         if self.method:

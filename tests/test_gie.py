@@ -73,12 +73,25 @@ def _check(op, direction, got, expect, tol, ndims):
     assert d <= tol, f"distance {d} > tolerance {tol}; got=({gx[0]},{gy[0]},{gz[0]}) expect={expect}"
 
 
+def _assert_errno(case, got_errno):
+    """errno parity (reference gie.cpp:938-1005 expect_failure_with_errno):
+    when the block names an errno, the engine's classification must match
+    it, not merely fail."""
+    want = case.get("errno")
+    if want:
+        assert got_errno == want, (
+            f"errno mismatch for {case['op_def']}: "
+            f"want {want}, got {got_errno}")
+
+
 @pytest.mark.parametrize("case", CASES, ids=_ids())
 def test_gie_case(case):
+    from proj_spark.errors import classify_failure, errno_of_exception
     try:
         op = _make_op(case["op_def"])
     except (ValueError, KeyError) as e:
         if case.get("expect_failure"):
+            _assert_errno(case, errno_of_exception(e))
             return  # construction-time failure expected
         raise AssertionError(f"cannot construct {case['op_def']}: {e}") from e
 
@@ -87,10 +100,15 @@ def test_gie_case(case):
             pytest.fail(f"expected construction failure for {case['op_def']}")
         try:
             got = op.apply(case["direction"], *_prep_input(op, case["direction"], case["accept"]))
-        except (ValueError, KeyError):
-            return  # deferred-grid-open failure at apply time: expected
+        except (ValueError, KeyError) as e:
+            # deferred-grid-open failure at apply time: expected
+            _assert_errno(case, errno_of_exception(e))
+            return
         assert not (np.isfinite(got[0][0]) and np.isfinite(got[1][0])), (
             f"expected failure (NaN), got {got} for {case['op_def']}")
+        inp = _prep_input(op, case["direction"], case["accept"])
+        _assert_errno(case,
+                      classify_failure(op, case["direction"], inp[0], inp[1]))
         return
 
     if any(np.isnan(v) for v in case["accept"][:2]):
