@@ -17,6 +17,9 @@ import sys
 import time
 from pathlib import Path
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
@@ -78,6 +81,58 @@ def _kernel_microbench(n: int = 2_000_000) -> dict:
     return out
 
 
+def _scaled_transform(spark, n: int = 12_000_000) -> dict:
+    """Compute-dominant throughput (VERDICT r1: per-query walls at sf0.1
+    are fixed-overhead-dominated — bench at a scale where compute
+    dominates): n points through ONE fused Arrow crossing running all
+    four kernels (webmerc fwd + Krueger UTM fwd + Karney inverse distance
+    + S2 level-12 cell), the same kernel stack as the BENCH/ scaling
+    harness. Points are synthesized JVM-side (spark.range), so the scan
+    costs nothing and the wall is kernel + Arrow transfer."""
+    from pyspark.sql import functions as F
+    from proj_spark.kernels import s2cell
+    from proj_spark.kernels import geodesic as geod
+    from proj_spark.kernels.core import Ellipsoid
+    from proj_spark.crs import create
+
+    wgs84 = Ellipsoid(6378137.0, 6378137.0 * (1 - 1 / 298.257223563))
+    webmerc = create("+proj=webmerc +ellps=WGS84")
+    utm32 = create("+proj=utm +zone=32 +ellps=GRS80")
+
+    @F.pandas_udf("struct<x:double,y:double,ux:double,uy:double,"
+                  "dist:double,cell:long>")
+    def fused(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        r = np.pi / 180.0
+        lo = lon.to_numpy(np.float64) * r
+        la = lat.to_numpy(np.float64) * r
+        x, y, _, _ = webmerc.fwd(lo, la)
+        ux, uy, _, _ = utm32.fwd(lo, la)
+        s, _, _ = geod.solver(wgs84).inverse(
+            np.zeros_like(lo), np.zeros_like(la), lo, la)
+        cell = s2cell.lonlat_to_cell(lon.to_numpy(np.float64),
+                                     lat.to_numpy(np.float64), 12)
+        return pd.DataFrame({"x": x, "y": y, "ux": ux, "uy": uy,
+                             "dist": s, "cell": cell})
+
+    def plan():
+        df = spark.range(n).select(
+            ((F.col("id") % 360000) / 1000.0 - 180.0).alias("lon"),
+            ((F.col("id") % 170000) / 1000.0 - 85.0).alias("lat"))
+        out = df.withColumn("f", fused("lon", "lat"))
+        return out.select("f.x", "f.ux", "f.dist", "f.cell")
+
+    plan().write.format("noop").mode("overwrite").save()  # warm JIT + pool
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        plan().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    cores = spark.sparkContext.defaultParallelism
+    return {"n_points": n, "wall_s": round(best, 2),
+            "mpts_per_sec": round(n / best / 1e6, 2),
+            "mpts_per_sec_per_core": round(n / best / 1e6 / cores, 3)}
+
+
 def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = False):
     from proj_spark.session import get_spark
     from proj_spark import querylib
@@ -107,6 +162,7 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = False)
     pts_per_sec = round(sum(n_points / timings[q] for q in point_q) / len(point_q))
     out = {
         "kernel_mpts_per_sec_1core": _kernel_microbench(),
+        "fused_transform_12m": _scaled_transform(spark),
         "metric": "headline query suite wall time",
         "value": total,
         "unit": "sec",
