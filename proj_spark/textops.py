@@ -70,16 +70,39 @@ shingles AS (
 sh_sets AS (SELECT DISTINCT doc_id, sh FROM shingles)
 """
 
+# Spark-side shingles are built MAP-SIDE with array ops (transform over the
+# split array) — zero shuffles, where the 3-way self-join form shuffles the
+# exploded words three times. The DuckDB oracle keeps the join form: same
+# rows, deliberately different plan. At 100 TB this is the difference
+# between a narrow scan->project stage and 3 exchanges of 50x-exploded rows.
+SHINGLES_SPARK = """
+shingles AS (
+  SELECT doc_id, sh
+  FROM (SELECT doc_id, split(text, ' ') AS ws FROM dup_docs)
+  LATERAL VIEW explode(
+    CASE WHEN size(ws) >= 3
+         THEN transform(sequence(0, size(ws) - 3),
+                        i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
+         ELSE array() END) t AS sh
+),
+sh_sets AS (SELECT DISTINCT doc_id, sh FROM shingles)
+"""
+
+
+def shingles_cte(dialect: str) -> str:
+    return SHINGLES_SPARK if dialect == "spark" else SHINGLES_CTE
+
 _PERMS = "(VALUES " + ",".join(f"({i})" for i in range(16)) + ") AS perms(p)"
 
 
 def minhash_lsh_sql(dialect: str) -> str:
     """Full MinHash->LSH->verify pipeline; dialect in {spark, duck}."""
-    words = WORDS_SPARK if dialect == "spark" else WORDS_DUCK
+    shingle_with = (f"{DUP_DOCS_CTE}, {SHINGLES_SPARK}" if dialect == "spark"
+                    else f"{DUP_DOCS_CTE}, {WORDS_DUCK}, {SHINGLES_CTE}")
     band_key = " || ".join(
         f"MAX(CASE WHEN p % 4 = {r} THEN mh END)" for r in range(4))
     return f"""
-WITH {DUP_DOCS_CTE}, {words}, {SHINGLES_CTE},
+WITH {shingle_with},
 minhash AS (
   SELECT doc_id, p, MIN(md5(CAST(p AS STRING) || '|' || sh)) AS mh
   FROM sh_sets CROSS JOIN {_PERMS}
@@ -181,9 +204,10 @@ WHERE bit_count(a.simhash ^ b.simhash) <= 6
 
 def fingerprint_sql(dialect: str) -> str:
     """Bottom-5 sketch: the 5 smallest salted shingle hashes per doc."""
-    words = WORDS_SPARK if dialect == "spark" else WORDS_DUCK
+    shingle_with = (f"{DUP_DOCS_CTE}, {SHINGLES_SPARK}" if dialect == "spark"
+                    else f"{DUP_DOCS_CTE}, {WORDS_DUCK}, {SHINGLES_CTE}")
     return f"""
-WITH {DUP_DOCS_CTE}, {words}, {SHINGLES_CTE},
+WITH {shingle_with},
 ranked AS (
   SELECT doc_id, md5(sh) AS h,
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(sh)) AS rk
@@ -247,9 +271,10 @@ def ngram_jaccard_sql(dialect: str) -> str:
     hot shingles; AQE skew-join handles the residual imbalance. Kept
     uncapped here so the semantics stay exactly "Jaccard of the full
     shingle sets"."""
-    words = WORDS_SPARK if dialect == "spark" else WORDS_DUCK
+    shingle_with = (f"{DUP_DOCS_CTE}, {SHINGLES_SPARK}" if dialect == "spark"
+                    else f"{DUP_DOCS_CTE}, {WORDS_DUCK}, {SHINGLES_CTE}")
     return f"""
-WITH {DUP_DOCS_CTE}, {words}, {SHINGLES_CTE},
+WITH {shingle_with},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_sets GROUP BY doc_id),
 inter AS (
   SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS ni
