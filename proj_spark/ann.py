@@ -16,6 +16,7 @@ so results are reproducible across runs and cluster sizes.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -46,7 +47,7 @@ def train_centroids(emb: DataFrame, k: int, iters: int = 8,
     vectors, centroid = normalized mean).
     """
     n = emb.count()
-    mod = max(1, n // max_sample)
+    mod = max(1, -(-n // max_sample))  # ceil: sample truly <= max_sample
     rows = (emb.filter(F.col("vec_id") % mod == 0)
                .select("vec_id", vec_col).orderBy("vec_id").collect())
     x = np.asarray([r[1] for r in rows], dtype=np.float64)
@@ -75,37 +76,59 @@ def centroid_df(spark, cents: np.ndarray) -> DataFrame:
         "cv", F.lit(0.0), lambda a, x: a + x * x)))
 
 
-def ivf_topk(spark, emb: DataFrame, cents: DataFrame, k: int = 5,
+def _unit_matrix(cents) -> np.ndarray:
+    """Centroids (np.ndarray or small (cid, cv, …) DataFrame, k rows,
+    bounded by construction) as a row-unit-normalized (k, dim) matrix
+    ordered by cid, so row index == cid."""
+    if isinstance(cents, np.ndarray):
+        c = np.asarray(cents, dtype=np.float64)
+    else:
+        rows = cents.select("cid", "cv").orderBy("cid").collect()
+        c = np.asarray([r[1] for r in rows], dtype=np.float64)
+    n = np.linalg.norm(c, axis=1, keepdims=True)
+    return c / np.where(n == 0, 1.0, n)
+
+
+def ivf_topk(spark, emb: DataFrame, cents, k: int = 5,
              nprobe: int = 2, query_mod: int = 50,
              vec_col: str = "embedding") -> DataFrame:
-    """IVF top-k: broadcast centroids -> nearest-centroid bucket per
-    vector (map-side) -> queries probe their `nprobe` nearest buckets
-    (one shuffle on cid; AQE splits hot buckets) -> exact cosine rerank
-    over candidates only. Returns (qid, nid, sim, rank)."""
+    """IVF top-k: centroids broadcast as a numpy matrix -> nearest-centroid
+    bucket per vector computed MAP-SIDE (vectorized pandas UDF: one matmul
+    per Arrow batch, no shuffle, bucket carried with v/norm so no join-back)
+    -> queries probe their `nprobe` nearest buckets -> one shuffle on cid
+    (AQE splits hot buckets) -> exact cosine rerank over candidates only.
+    Returns (qid, nid, sim, rank). Ties break on lowest cid (stable argsort
+    over cid-ordered rows), matching train_centroids' determinism."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = _unit_matrix(cents)
+    bc = spark.sparkContext.broadcast(cmat)
+
+    @pandas_udf("long")
+    def assign_cid(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=np.int64)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series(np.argmax(x @ bc.value.T, axis=1).astype(np.int64))
+
+    @pandas_udf("array<long>")
+    def probe_cids(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        order = np.argsort(-(x @ bc.value.T), axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe].astype(np.int64)))
+
     e = _normalized(emb, vec_col)
-    asg = e.join(F.broadcast(cents)).select(
-        "vec_id", "cid",
-        _cos(F.col("v"), F.col("norm"), F.col("cv"), F.col("cnorm"))
-        .alias("csim"))
-    w_a = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cid"))
-    buckets = (asg.withColumn("rn", F.row_number().over(w_a))
-                  .filter("rn = 1").select("vec_id", "cid"))
+    eb = e.withColumn("cid", assign_cid("v"))   # narrow: no exchange
 
     qs = (e.filter(F.col("vec_id") % query_mod == 0)
            .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                    F.col("norm").alias("qnorm")))
-    qp = qs.join(F.broadcast(cents)).select(
-        "qid", "qv", "qnorm", "cid",
-        _cos(F.col("qv"), F.col("qnorm"), F.col("cv"), F.col("cnorm"))
-        .alias("csim"))
-    w_q = Window.partitionBy("qid").orderBy(F.desc("csim"), F.col("cid"))
-    qprobe = (qp.withColumn("rn", F.row_number().over(w_q))
-                .filter(F.col("rn") <= nprobe)
-                .select("qid", "qv", "qnorm", "cid"))
+    qprobe = qs.withColumn("cid", F.explode(probe_cids("qv")))
 
-    cand = (qprobe.join(buckets, on="cid")
-                  .filter(F.col("vec_id") != F.col("qid"))
-                  .join(e.select("vec_id", "v", "norm"), on="vec_id"))
+    cand = (qprobe.join(eb, on="cid")
+                  .filter(F.col("vec_id") != F.col("qid")))
     scored = cand.select(
         "qid", F.col("vec_id").alias("nid"),
         _cos(F.col("qv"), F.col("qnorm"), F.col("v"), F.col("norm"))

@@ -113,6 +113,13 @@ def normalize_crs_def(defn: str) -> str:
     if head in _WKT_ROOTS:
         from .wktio import from_wkt
         return from_wkt(s)
+    # other WKT roots (COMPD_CS, GEOCCS, VERTCRS, ENGCRS, ...) must fail
+    # cleanly as unsupported-CRS, not fall through to the proj-string
+    # parser (reference io.cpp createFromUserInput raises ParsingException)
+    if head and re.fullmatch(r"[A-Z_][A-Z0-9_]*", head) and ("[" in s or "(" in s):
+        from .errors import INVALID_OP_WRONG_SYNTAX, ProjError
+        raise ProjError(f"unsupported WKT CRS type: {head}",
+                        INVALID_OP_WRONG_SYNTAX)
     return s
 
 
@@ -130,18 +137,30 @@ def create(defn: str):
             # +inv on a plain operator runs it inverted (P->inverted)
             return Pipeline([(op, "inverse")])
         return op
-    ops = [_create_step(p) for p in steps]
-    pipe = Pipeline(ops)
-    # global +inv before the first step inverts the whole pipeline
     head = []
     for tok in defn.replace("\n", " ").split():
         t = tok.lstrip("+")
         if t == "step":
             break
         head.append(t)
+    # a second +proj= in the GLOBAL segment is malformed (reference: the
+    # global args are appended to every step, and a duplicate +proj in
+    # the pipeline's own args aborts creation)
+    if sum(1 for t in head if t.startswith("proj=")) > 1:
+        from .errors import INVALID_OP_WRONG_SYNTAX, ProjError
+        raise ProjError("pipeline: duplicate +proj in global arguments",
+                        INVALID_OP_WRONG_SYNTAX)
+    # global +inv toggles each step's inversion, step order preserved;
+    # +inv in BOTH global and step args means forward
+    # (reference pipeline.cpp:516-523)
     if "inv" in head:
-        return Pipeline([(pipe, "inverse")])
-    return pipe
+        for p in steps:
+            if "inv" in p:
+                p.pop("inv")
+            else:
+                p["inv"] = True
+    ops = [_create_step(p) for p in steps]
+    return Pipeline(ops)
 
 
 def _create_step(p: dict):

@@ -45,6 +45,16 @@ class ProjError(ValueError):
         self.errno = errno
 
 
+def illegal_arg(msg: str):
+    """Raise with PROJ_ERR_INVALID_OP_ILLEGAL_ARG_VALUE parity."""
+    raise ProjError(msg, INVALID_OP_ILLEGAL_ARG_VALUE)
+
+
+def missing_arg(msg: str):
+    """Raise with PROJ_ERR_INVALID_OP_MISSING_ARG parity."""
+    raise ProjError(msg, INVALID_OP_MISSING_ARG)
+
+
 def errno_of_exception(exc: BaseException) -> str:
     """errno name for a construction-time exception (typed ProjError wins;
     untyped falls back on the reference's catch-all categories)."""
@@ -92,8 +102,11 @@ def classify_failure(op, direction: str, lam, phi) -> str:
     if direction == "inverse":
         # a pipeline inverse fails with no_inverse_op when ANY step that
         # must run inverted lacks a usable inverse (pipeline.cpp reverse
-        # path propagates the step errno)
-        subs = [op] + [s for s, _d in getattr(op, "steps", [])]
+        # path propagates the step errno). A step declared +inv runs
+        # FORWARD under pipeline inversion, so its missing inverse is
+        # irrelevant — only forward-declared steps are flipped.
+        subs = [op] + [s for s, d in getattr(op, "steps", [])
+                       if d == "forward"]
         if any(getattr(s, "inverse_invalid", False) for s in subs):
             return NO_INVERSE_OP
     grids = _grids_of(op)

@@ -384,6 +384,43 @@ def parse_gtx(data: bytes, name: str = "gtx") -> FileGrid:
     return FileGrid(name, west, south, dlon, dlat, cols, rows, dz_m=vals)
 
 
+def parse_ntv1(data: bytes, name: str = "ntv1") -> FileGrid:
+    """NTv1 .dat -> horizontal FileGrid (reference grids.cpp:1834-1921).
+
+    192-byte big-endian header ('HEADER  ' + record count 12, then
+    labelled doubles: S LAT@24, N LAT@40, E LONG@56, W LONG@72 — both
+    stored positive-WEST — N GRID resY@88, W GRID resX@104, all degrees);
+    nodes are (lat_shift, lon_shift) float64 pairs in arcseconds, rows
+    south->north, columns stored EAST-to-west, longitude positive west."""
+    if len(data) < 192 or not data.startswith(b"HEADER"):
+        raise ValueError("not an NTv1 file")
+    (nrec,) = struct.unpack_from(">i", data, 8)
+    if nrec != 12:
+        raise ValueError("NTv1 grid shift file has wrong record count")
+    south = struct.unpack_from(">d", data, 24)[0]
+    north = struct.unpack_from(">d", data, 40)[0]
+    east = -struct.unpack_from(">d", data, 56)[0]
+    west = -struct.unpack_from(">d", data, 72)[0]
+    res_y = struct.unpack_from(">d", data, 88)[0]
+    res_x = struct.unpack_from(">d", data, 104)[0]
+    if not (abs(west) <= 720 and abs(east) <= 720 and abs(north) <= 180.00001
+            and abs(south) <= 180.00001 and west < east and south < north
+            and res_x > 1e-10 and res_y > 1e-10):
+        raise ValueError("inconsistent NTv1 georeferencing")
+    width = int(abs((east - west) / res_x + 0.5)) + 1
+    height = int(abs((north - south) / res_y + 0.5)) + 1
+    if len(data) < 192 + width * height * 16:
+        raise ValueError("NTv1 file truncated")
+    nodes = np.frombuffer(data, dtype=">f8", count=width * height * 2,
+                          offset=192).reshape(height, width, 2)
+    # columns run east->west in the file (grids.cpp:1905 "organized from
+    # east to west"); flip to west->east, negate lon to east-positive
+    lat_as = nodes[:, ::-1, 0].astype(np.float64)
+    lon_as = -nodes[:, ::-1, 1].astype(np.float64)
+    return FileGrid(name, west, south, res_x, res_y, width, height,
+                    dlon_as=lon_as, dlat_as=lat_as)
+
+
 def parse_ctable2(data: bytes, name: str = "ct2") -> FileGrid:
     """CTable2 .ct2 -> horizontal FileGrid (reference grids.cpp:1966)."""
     if len(data) < 160 or not data.startswith(b"CTABLE V2"):
@@ -463,18 +500,28 @@ def load_grid_file(name: str):
                        f"(search path {grid_search_path()})")
     with open(path, "rb") as f:
         data = f.read()
-    if data.startswith(b"CTABLE V2"):
-        g = parse_ctable2(data, name)
-    elif data[0:8] == b"NUM_OREC":
-        g = parse_ntv2(data, name)
-    elif data[:2] in (b"II", b"MM"):
-        g = parse_gtiff(data, name)
-    elif name.endswith(".gtx") or len(data) >= 40 and _looks_gtx(data):
-        g = parse_gtx(data, name)
-    else:
-        from .errors import ProjError, INVALID_OP_FILE_NOT_FOUND_OR_INVALID
-        raise ProjError(f"unrecognized grid format for {name!r}",
-                        INVALID_OP_FILE_NOT_FOUND_OR_INVALID)
+    from .errors import ProjError, INVALID_OP_FILE_NOT_FOUND_OR_INVALID
+    try:
+        if data.startswith(b"CTABLE V2"):
+            g = parse_ctable2(data, name)
+        elif data.startswith(b"HEADER"):
+            g = parse_ntv1(data, name)
+        elif data[0:8] == b"NUM_OREC":
+            g = parse_ntv2(data, name)
+        elif data[:2] in (b"II", b"MM"):
+            g = parse_gtiff(data, name)
+        elif name.endswith(".gtx") or len(data) >= 40 and _looks_gtx(data):
+            g = parse_gtx(data, name)
+        else:
+            raise ProjError(f"unrecognized grid format for {name!r}",
+                            INVALID_OP_FILE_NOT_FOUND_OR_INVALID)
+    except ProjError:
+        raise
+    except ValueError as e:
+        # malformed/unsupported grid content is the reference's
+        # file-not-found-or-invalid class (grids.cpp open failures)
+        raise ProjError(f"invalid grid file {name!r}: {e}",
+                        INVALID_OP_FILE_NOT_FOUND_OR_INVALID) from e
     _FILE_GRID_CACHE[name] = g
     return g
 
@@ -502,8 +549,11 @@ def _looks_gtx(data: bytes) -> bool:
 # scale/offset, chunky or separate planes, multiple IFDs as subgrids
 # ordered children-first via grid_name/parent_grid_name.
 
+# reference grids.cpp GTiffGrid::getGridValues: only Int16/UInt16/Int32/
+# UInt32/Float32/Float64 samples are valid grid channels — 8-bit (Byte)
+# rejects the file (gie geotiff_grids 'unsupported_byte')
 _TIFF_DTYPES = {
-    (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+    (1, 16): "u2", (1, 32): "u4",
     (2, 16): "i2", (2, 32): "i4",
     (3, 32): "f4", (3, 64): "f8",
 }
@@ -778,6 +828,15 @@ def parse_gtiff(data: bytes, name: str = "gtiff"):
             kind = "hm"
             ie_m = descs.index("easting_offset")
             in_m = descs.index("northing_offset")
+        elif "east_offset" in descs and "north_offset" in descs:
+            # deformation-model displacement grid (defmodel.cpp:76-141
+            # checkHorizontal: east_offset/north_offset[/vertical_offset]
+            # bands, unit degree or metre) — bands exposed raw
+            kind = "defm"
+            ie_d = descs.index("east_offset")
+            in_d = descs.index("north_offset")
+            iz_d = (descs.index("vertical_offset")
+                    if "vertical_offset" in descs else None)
         elif any(d in vert_names for d in descs):
             kind = "v"
             iz = next(i for i, d in enumerate(descs) if d in vert_names)
@@ -811,6 +870,14 @@ def parse_gtiff(data: bytes, name: str = "gtiff"):
             g.offset_unit = "metre"
             g.const_xy = (float(item(ie_m, "constant_offset", 0.0) or 0.0),
                           float(item(in_m, "constant_offset", 0.0) or 0.0))
+        elif kind == "defm":
+            g = FileGrid(name, west, south, hres, abs(vres), w, h,
+                         dlon_as=raster[:, :, ie_d],
+                         dlat_as=raster[:, :, in_d],
+                         dz_m=raster[:, :, iz_d] if iz_d is not None
+                         else None)
+            g.offset_unit = item(ie_d, "UNITTYPE") or "metre"
+            g.defmodel = True
         elif kind == "v":
             g = FileGrid(name, west, south, hres, abs(vres), w, h,
                          dz_m=raster[:, :, iz])

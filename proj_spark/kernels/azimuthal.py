@@ -190,7 +190,9 @@ class Ups(Stere):
         p.pop("lat_ts", None)
         super().__init__(p, invoked_name)
         if self.ell.es == 0.0:
-            raise ValueError("ups requires an ellipsoid")
+            from ..errors import illegal_arg
+            illegal_arg("ups: invalid use of +R / spherical ellipsoid "
+                        "(stere.cpp ups setup requires es != 0)")
 
 
 @register

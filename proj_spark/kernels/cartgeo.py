@@ -338,6 +338,13 @@ class Unitconvert(Operator):
         xy_out = _unit_factor(xy_out_name)
         z_in = _unit_factor(z_in_name)
         z_out = _unit_factor(z_out_name)
+        # numeric factors must be normal positive numbers
+        # (unitconvert.cpp get_unit_conversion_factor: 0 / inf rejected)
+        for nm, v in (("xy_in", xy_in), ("xy_out", xy_out),
+                      ("z_in", z_in), ("z_out", z_out)):
+            if v == 0 or not np.isfinite(v):
+                from ..errors import illegal_arg
+                illegal_arg(f"unitconvert: invalid value for {nm}")
         self.xy_factor = xy_in / xy_out
         self.z_factor = z_in / z_out
         # io-unit tags for angular xy units (unitconvert.cpp:455-459,476-480)

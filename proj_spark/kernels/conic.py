@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..errors import illegal_arg
 from ..ops import Operator, register, U_RADIANS, U_CLASSIC, parse_angle
 from .core import (
     DEG_TO_RAD,
@@ -41,11 +42,15 @@ class Lcc(Operator):
         if "lat_2" not in p and "lat_0" not in p:
             self.phi0 = phi1
         if abs(phi1 + phi2_) < _EPS10:
-            raise ValueError("|lat_1 + lat_2| must be > 0")
+            illegal_arg("lcc: |lat_1 + lat_2| should be > 0")
         sinphi = np.sin(phi1)
         cosphi = np.cos(phi1)
+        # reference lcc.cpp:107-115: BOTH parallels must be strictly
+        # inside the poles
         if abs(cosphi) < _EPS10 or abs(phi1) >= HALF_PI:
-            raise ValueError("|lat_1| must be < 90")
+            illegal_arg("lcc: |lat_1| should be < 90")
+        if abs(np.cos(phi2_)) < _EPS10 or abs(phi2_) >= HALF_PI:
+            illegal_arg("lcc: |lat_2| should be < 90")
         secant = abs(phi1 - phi2_) >= _EPS10
         n = sinphi
         ell = self.ell
@@ -58,7 +63,7 @@ class Lcc(Operator):
                 ml2 = float(tsfn(np.float64(phi2_), np.float64(sinphi2), ell.e))
                 denom = float(np.log(ml1 / ml2))
                 if n == 0 or denom == 0:
-                    raise ValueError("invalid eccentricity/parallels")
+                    illegal_arg("lcc: invalid value for eccentricity")
                 n /= denom
             rho0 = m1 * ml1 ** (-n) / n
             self.c = rho0
@@ -71,7 +76,7 @@ class Lcc(Operator):
                 n = float(np.log(cosphi / np.cos(phi2_))
                           / np.log(np.tan(FORT_PI + 0.5 * phi2_) / np.tan(FORT_PI + 0.5 * phi1)))
             if n == 0:
-                raise ValueError("lat_1/lat_2 too close to zero")
+                illegal_arg("lcc: |lat_1 + lat_2| should be > 0")
             self.c = float(cosphi * np.tan(FORT_PI + 0.5 * phi1) ** n / n)
             if abs(abs(self.phi0) - HALF_PI) < _EPS10:
                 self.rho0 = 0.0
@@ -135,9 +140,9 @@ class Aea(Operator):
             phi1 = parse_angle(p.get("lat_1", 0.0)) * DEG_TO_RAD
             phi2_ = parse_angle(p.get("lat_2", 0.0)) * DEG_TO_RAD
         if abs(phi1) > HALF_PI or abs(phi2_) > HALF_PI:
-            raise ValueError("|lat| must be <= 90")
+            illegal_arg("aea: |lat_1|/|lat_2| should be <= 90")
         if abs(phi1 + phi2_) < _EPS10:
-            raise ValueError("|lat_1 + lat_2| must be > 0")
+            illegal_arg("aea: |lat_1 + lat_2| should be > 0")
         ell = self.ell
         sinphi = float(np.sin(phi1))
         cosphi = float(np.cos(phi1))
@@ -152,10 +157,10 @@ class Aea(Operator):
                 m2 = float(msfn(sinphi2, np.cos(phi2_), ell.es))
                 ml2 = float(qsfn(np.float64(sinphi2), ell.e, ell.one_es))
                 if ml2 == ml1:
-                    raise ValueError("degenerate parallels")
+                    illegal_arg("aea: eccentricity too close to 1")
                 n = (m1 * m1 - m2 * m2) / (ml2 - ml1)
                 if n == 0:
-                    raise ValueError("invalid eccentricity")
+                    illegal_arg("aea: invalid value for eccentricity")
             self.ec = 1.0 - 0.5 * ell.one_es * np.log((1.0 - ell.e) / (1.0 + ell.e)) / ell.e
             self.c = m1 * m1 + n * ml1
             self.dd = 1.0 / n

@@ -92,6 +92,13 @@ class Ellipsoid:
     def __init__(self, a: float, b: float):
         self.a = float(a)
         self.b = float(b)
+        if not (self.a > 0 and self.b > 0):
+            # invalid axes reject before any 1/a computation
+            # (ell_set.cpp pj_calc_ellipsoid_params)
+            from ..errors import INVALID_OP_ILLEGAL_ARG_VALUE, ProjError
+            raise ProjError(
+                f"invalid ellipsoid axes a={self.a} b={self.b}",
+                INVALID_OP_ILLEGAL_ARG_VALUE)
         self.f = (a - b) / a
         self.rf = 1.0 / self.f if self.f != 0.0 else 0.0
         self.es = 2 * self.f - self.f * self.f
@@ -128,11 +135,34 @@ def resolve_ellipsoid(params: dict) -> Ellipsoid:
     +a/+b/+rf, named +ellps, datum-implied ellipsoid, WGS84 default —
     src/init.cpp:566-581).
     """
+    def _bad(msg):
+        from ..errors import INVALID_OP_ILLEGAL_ARG_VALUE, ProjError
+        raise ProjError(msg, INVALID_OP_ILLEGAL_ARG_VALUE)
+
     if "R" in params:
         r = float(params["R"])
+        if not (np.isfinite(r) and r > 0):
+            _bad(f"invalid value for R: {r}")
         return Ellipsoid(r, r)
-    base_ell = _resolve_base(params)
-    return _spherify(base_ell, params)
+    try:
+        base_ell = _resolve_base(params)
+    except KeyError as e:
+        # unknown +ellps/+datum name (ell_set.cpp ellps_ellps: not found in
+        # the builtin table -> PROJ_ERR_INVALID_OP_ILLEGAL_ARG_VALUE)
+        _bad(f"unknown ellipsoid {e}")
+    ell = _spherify(base_ell, params)
+    # pj_calc_ellipsoid_params sanity gates (ell_set.cpp:43-120): a and b
+    # must be finite positives, es in [0, 1) — e.g. +a=-1, +b=0, +f=1,
+    # +es=1, +rf=0, +e=1 all reject at setup with illegal-arg errno
+    if not (np.isfinite(ell.a) and ell.a > 0):
+        _bad(f"invalid semi-major axis {ell.a}")
+    if not (np.isfinite(ell.b) and ell.b > 0):
+        _bad(f"invalid semi-minor axis {ell.b}")
+    if not (0.0 <= ell.es < 1.0) or not np.isfinite(ell.es):
+        _bad(f"invalid eccentricity (es={ell.es})")
+    if "rf" in params and float(params["rf"]) == 0.0:
+        _bad("reciprocal flattening (1/f) = 0")
+    return ell
 
 
 def _spherify(ell: Ellipsoid, params: dict) -> Ellipsoid:
@@ -198,6 +228,15 @@ def _resolve_base(params: dict) -> Ellipsoid:
         b = a * (1 - float(params["f"]))
     elif a is not None and "es" in params:
         b = a * np.sqrt(1 - float(params["es"]))
+    elif a is not None and "e" in params:
+        # first eccentricity (ell_set.cpp: es = e*e; e <= 0 rejected)
+        e1 = float(params["e"])
+        if e1 <= 0:
+            from ..errors import INVALID_OP_ILLEGAL_ARG_VALUE, ProjError
+            raise ProjError(f"invalid value for e: {e1}",
+                            INVALID_OP_ILLEGAL_ARG_VALUE)
+        with np.errstate(invalid="ignore"):
+            b = a * np.sqrt(1 - e1 * e1)
     elif base is not None:
         b = base.b * (a / base.a)  # keep the named shape (flattening)
     elif a is not None:

@@ -199,14 +199,19 @@ class Tmerc(Operator):
 
     def setup(self):
         if self.invoked_name == "utm":
+            from ..errors import illegal_arg
             if self.ell.is_sphere:
-                raise ValueError("utm requires an ellipsoid")
+                # tmerc.cpp utm setup: +R / spherical use is invalid
+                illegal_arg("utm: invalid use of +R or spherical ellipsoid")
             self.y0 = 10000000.0 if "south" in self.params else 0.0
             self.x0 = 500000.0
             if "zone" in self.params:
-                zone = int(self.params["zone"])
+                try:
+                    zone = int(self.params["zone"])
+                except (TypeError, ValueError):
+                    illegal_arg("utm: invalid value for zone")
                 if not 1 <= zone <= 60:
-                    raise ValueError("invalid utm zone")
+                    illegal_arg("utm: zone should be in [1, 60]")
                 zone -= 1
             else:
                 zone = int(np.floor((adjlon(np.float64(self.lam0)) + np.pi) * 30.0 / np.pi))

@@ -96,15 +96,30 @@ class Helmert(Operator):
             self.ds, self.dtheta))
         self.no_rotation = all(v == 0.0 for v in (
             self.rx, self.ry, self.rz, self.drx, self.dry, self.drz))
+        from ..errors import illegal_arg, missing_arg
+        # reference helmert.cpp:580-584: obsolete +transpose errors out
+        if "transpose" in p:
+            illegal_arg("helmert: 'transpose' argument is no longer valid")
         conv = p.get("convention")
+        # towgs84 rotations historically use position_vector; accepting
+        # coordinate_frame would be confusing (helmert.cpp:540-549)
+        if "towgs84" in p and conv is not None and conv != "position_vector":
+            illegal_arg("helmert: towgs84 should only be used with "
+                        "convention=position_vector")
         if not self.no_rotation:
+            # reference read_convention (helmert.cpp:517-549)
+            if conv is None:
+                missing_arg("helmert: missing 'convention' argument")
             if conv not in ("position_vector", "coordinate_frame"):
-                raise ValueError("helmert: missing/invalid 'convention'")
+                illegal_arg("helmert: invalid value for 'convention'")
         self.position_vector = conv == "position_vector"
         # Molodensky-Badekas reference point folded into translations
         # (reference helmert.cpp:744-752)
         self.refp = np.zeros(3)
         if self.invoked_name == "molobadekas":
+            for k in ("px", "py", "pz"):
+                if k not in p:
+                    missing_arg(f"molobadekas: missing '{k}' argument")
             self.refp = np.array([g("px"), g("py"), g("pz")])
             self.x += self.refp[0]
             self.y += self.refp[1]
@@ -194,12 +209,15 @@ class Molodensky(Operator):
     right = U_RADIANS
 
     def setup(self):
+        from ..errors import missing_arg
         p = self.params
-        self.dx = float(p.get("dx", 0.0))
-        self.dy = float(p.get("dy", 0.0))
-        self.dz = float(p.get("dz", 0.0))
-        if "da" not in p or "df" not in p:
-            raise ValueError("molodensky: da and df are required")
+        # all five shift params are required (molodensky.cpp:321-350)
+        for k in ("dx", "dy", "dz", "da", "df"):
+            if k not in p:
+                missing_arg(f"molodensky: missing {k}")
+        self.dx = float(p["dx"])
+        self.dy = float(p["dy"])
+        self.dz = float(p["dz"])
         self.da = float(p["da"])
         self.df = float(p["df"])
         self.abridged = "abridged" in p

@@ -111,12 +111,57 @@ class _GridShiftBase(Operator):
 
     def setup(self):
         if "grids" not in self.params:
-            raise ValueError("missing required +grids parameter")
+            from ..errors import missing_arg
+            missing_arg(f"{self.name}: +grids parameter missing")
         self._grid_name = str(self.params["grids"])
-        # deferred grid opening (reference defer_grid_opening,
-        # hgridshift.cpp/vgridshift.cpp): construction never touches the
-        # filesystem; the raster is resolved at first use
-        self._grid = None
+        # grids open EAGERLY like proj_create without defer_grid_opening
+        # (hgridshift.cpp:185-206): a missing or unparseable required grid
+        # is a construction-time file-not-found error. The loaded numpy
+        # rasters ride into Spark executors via the operator closure.
+        self._grid = get_grid(self._grid_name)
+        # band sanity (grids.cpp: hgridshift needs lon/lat offset bands,
+        # vgridshift a vertical band; a mismatched grid file is invalid).
+        # Skipped for the null grid (all-zero shift, any band) and for
+        # empty all-optional sets (pass-through).
+        g = self._grid
+        from ..gridfiles import NullGrid
+        members = getattr(g, "grids", None)
+        if not isinstance(g, NullGrid) and members != [] \
+                and hasattr(g, "bands") \
+                and not (members and any(isinstance(m, NullGrid)
+                                         for m in members)):
+            has_lon, has_lat, has_z = g.bands
+            if any((has_lon, has_lat, has_z)):
+                from ..errors import (INVALID_OP_FILE_NOT_FOUND_OR_INVALID,
+                                      ProjError)
+                if self.name == "hgridshift" and not (has_lon and has_lat):
+                    raise ProjError(
+                        f"hgridshift: grid {self._grid_name!r} has no "
+                        "horizontal offset bands",
+                        INVALID_OP_FILE_NOT_FOUND_OR_INVALID)
+                if self.name == "vgridshift" and not has_z:
+                    raise ProjError(
+                        f"vgridshift: grid {self._grid_name!r} has no "
+                        "vertical offset band",
+                        INVALID_OP_FILE_NOT_FOUND_OR_INVALID)
+        # +t_epoch/+t_final time bracket (hgridshift.cpp:155-180,
+        # forward_4d:72-95): with both set, the shift applies ONLY to
+        # coordinates with t < t_epoch (and t_final > t_epoch);
+        # +t_final=now resolves to the current decimal year
+        self.t_epoch = float(self.params.get("t_epoch", 0.0))
+        tf = self.params.get("t_final", 0.0)
+        if str(tf) == "now":
+            import time as _time
+            lt = _time.localtime()
+            # C localtime tm_yday is 0-based (hgridshift.cpp:173)
+            tf = lt.tm_year + (lt.tm_yday - 1) / 365.0
+        self.t_final = float(tf)
+
+    def _time_mask(self, t):
+        """True where the shift applies (None = unrestricted)."""
+        if self.t_final == 0.0 or self.t_epoch == 0.0:
+            return None
+        return (t < self.t_epoch) & (self.t_final > self.t_epoch)
 
     @property
     def grid(self):
@@ -144,11 +189,18 @@ class Hgridshift(_GridShiftBase):
     name = "hgridshift"
 
     def _fwd(self, lam, phi, z, t):
+        gate = self._time_mask(t)
         dlon_as, dlat_as, _ = self._shift(lam, phi)
         sec2rad = DEG_TO_RAD / 3600.0
-        return lam + dlon_as * sec2rad, phi + dlat_as * sec2rad, z, t
+        lam_o = lam + dlon_as * sec2rad
+        phi_o = phi + dlat_as * sec2rad
+        if gate is not None:
+            lam_o = np.where(gate, lam_o, lam)
+            phi_o = np.where(gate, phi_o, phi)
+        return lam_o, phi_o, z, t
 
     def _inv(self, lam, phi, z, t):
+        gate = self._time_mask(t)
         lam_t, phi_t = lam, phi
         lam_c, phi_c = lam.copy(), phi.copy()
         sec2rad = DEG_TO_RAD / 3600.0
@@ -156,6 +208,9 @@ class Hgridshift(_GridShiftBase):
             dlon_as, dlat_as, _ = self._shift(lam_c, phi_c)
             lam_c = lam_t - dlon_as * sec2rad
             phi_c = phi_t - dlat_as * sec2rad
+        if gate is not None:
+            lam_c = np.where(gate, lam_c, lam_t)
+            phi_c = np.where(gate, phi_c, phi_t)
         return lam_c, phi_c, z, t
 
 
@@ -173,9 +228,28 @@ class Vgridshift(_GridShiftBase):
         self.multiplier = float(self.params.get("multiplier", -1.0))
 
     def _fwd(self, lam, phi, z, t):
+        gate = self._time_mask(t)
         _, _, dz = self._shift(lam, phi)
-        return lam, phi, z + self.multiplier * dz, t
+        z_o = z + self.multiplier * dz
+        if gate is not None:
+            z_o = np.where(gate, z_o, z)
+        # grid miss poisons the whole coordinate (reference
+        # proj_coord_error on PROJ_ERR_COORD_TRANSFM_OUTSIDE_GRID);
+        # time-gated-off points never consult the grid (forward_4d skips)
+        bad = ~np.isfinite(dz)
+        if gate is not None:
+            bad = bad & gate
+        return (np.where(bad, np.nan, lam), np.where(bad, np.nan, phi),
+                z_o, t)
 
     def _inv(self, lam, phi, z, t):
+        gate = self._time_mask(t)
         _, _, dz = self._shift(lam, phi)
-        return lam, phi, z - self.multiplier * dz, t
+        z_o = z - self.multiplier * dz
+        if gate is not None:
+            z_o = np.where(gate, z_o, z)
+        bad = ~np.isfinite(dz)
+        if gate is not None:
+            bad = bad & gate
+        return (np.where(bad, np.nan, lam), np.where(bad, np.nan, phi),
+                z_o, t)

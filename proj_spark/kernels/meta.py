@@ -39,8 +39,12 @@ class ObTran(Operator):
         from ..ops import create_operator
         p = self.params
         o_proj = p.get("o_proj")
-        if not o_proj or o_proj == "ob_tran":
-            raise ValueError("ob_tran requires +o_proj= (not ob_tran)")
+        if o_proj is None or o_proj is True or not isinstance(o_proj, str) \
+                or o_proj == "ob_tran":
+            # ob_tran.cpp:168-180: +o_proj must name a non-ob_tran operator
+            from ..errors import missing_arg
+            missing_arg("ob_tran: +o_proj must name a projection "
+                        "(and cannot be ob_tran itself)")
         inner = dict(p)
         inner["proj"] = o_proj
         inner.pop("o_proj", None)

@@ -34,9 +34,14 @@ class GaussSphere:
         cphi2 = np.cos(phi0) ** 2
         self.rc = np.sqrt(1.0 - es) / (1.0 - es * sphi * sphi)
         self.C = np.sqrt(1.0 + es * cphi2 * cphi2 / (1.0 - es))
+        if self.C == 0.0 or not np.isfinite(self.C):
+            raise ValueError("gauss sphere: invalid C (eccentricity ~ 1)")
         self.chi0 = float(aasin(sphi / self.C))
         self.ratexp = 0.5 * self.C * e
         srat0 = self._srat(e * sphi, self.ratexp)
+        if srat0 == 0.0 or not np.isfinite(srat0):
+            # reference gauss.cpp:67-71: srat underflow (es ~ 1) aborts init
+            raise ValueError("gauss sphere: srat underflow (eccentricity ~ 1)")
         if 0.5 * phi0 + FORT_PI < 1e-10:
             # south-polar origin (reference gauss.cpp:73-75)
             self.K = 1.0 / srat0
@@ -457,7 +462,8 @@ class Nsper(Operator):
         self.cosph0 = float(np.cos(self.phi0))
         self.pn1 = height / self.ell.a
         if self.pn1 <= 0 or self.pn1 > 1e10:
-            raise ValueError("invalid h")
+            from ..errors import illegal_arg
+            illegal_arg("nsper: invalid value for h")
         self.p = 1.0 + self.pn1
         self.rp = 1.0 / self.p
         self.h_ = 1.0 / self.pn1

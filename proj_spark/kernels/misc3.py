@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..errors import illegal_arg
+
 from ..ops import Operator, register, U_RADIANS, U_CLASSIC, parse_angle
 from .core import (
     DEG_TO_RAD,
@@ -67,6 +69,7 @@ class Omerc(Operator):
             B = 1.0 / com
             A = self.k0
             E = D = F = 1.0
+        _TOLV = 1e-7  # omerc.cpp:43
         if alp or gam:
             lamc = parse_angle(p.get("lonc", 0.0)) * DEG_TO_RAD
             if alp:
@@ -76,16 +79,34 @@ class Omerc(Operator):
             else:
                 gamma0 = gamma
                 alpha_c = float(aasin(D * np.sin(gamma0)))
+                if not np.isfinite(alpha_c):
+                    # omerc.cpp:229-240: |gamma| must be <= asin(1/D)
+                    illegal_arg("omerc: invalid value for gamma given lat_0")
+            if abs(abs(self.phi0) - HALF_PI) <= _TOLV:
+                illegal_arg("omerc: |lat_0| should be < 90")
             self.lam0 = lamc - float(aasin(0.5 * (F - 1.0 / F) * np.tan(gamma0))) / B
         else:
             lam1 = parse_angle(p.get("lon_1", 0.0)) * DEG_TO_RAD
             phi1 = parse_angle(p.get("lat_1", 0.0)) * DEG_TO_RAD
             lam2 = parse_angle(p.get("lon_2", 0.0)) * DEG_TO_RAD
             phi2_ = parse_angle(p.get("lat_2", 0.0)) * DEG_TO_RAD
+            # omerc.cpp:158-192 two-point validation
+            if abs(phi1) > HALF_PI - _TOLV:
+                illegal_arg("omerc: |lat_1| should be < 90")
+            if abs(phi2_) > HALF_PI - _TOLV:
+                illegal_arg("omerc: |lat_2| should be < 90")
+            if abs(phi1 - phi2_) <= _TOLV:
+                illegal_arg("omerc: lat_1 should be different from lat_2")
+            if abs(phi1) <= _TOLV:
+                illegal_arg("omerc: lat_1 should be different from 0")
+            if abs(abs(self.phi0) - HALF_PI) <= _TOLV:
+                illegal_arg("omerc: |lat_0| should be < 90")
             H = float(tsfn(np.float64(phi1), np.sin(phi1), e)) ** B
             L = float(tsfn(np.float64(phi2_), np.sin(phi2_), e)) ** B
             F = E / H
             pp = (L - H) / (L + H)
+            if pp == 0:
+                illegal_arg("omerc: invalid value for eccentricity")
             J = E * E
             J = (J - L * H) / (J + L * H)
             con = lam1 - lam2
@@ -96,9 +117,12 @@ class Omerc(Operator):
             self.lam0 = float(adjlon(np.asarray(
                 0.5 * (lam1 + lam2)
                 - np.arctan(J * np.tan(0.5 * B * (lam1 - lam2)) / pp) / B)))
+            denomv = F - 1.0 / F
+            if denomv == 0:
+                illegal_arg("omerc: invalid value for eccentricity")
             gamma0 = float(np.arctan(
                 2.0 * np.sin(B * adjlon(np.asarray(lam1 - self.lam0)))
-                / (F - 1.0 / F)))
+                / denomv))
             gamma = alpha_c = float(aasin(D * np.sin(gamma0)))
         self.singam, self.cosgam = np.sin(gamma0), np.cos(gamma0)
         self.sinrot, self.cosrot = np.sin(gamma), np.cos(gamma)
@@ -279,8 +303,11 @@ class Krovak(Operator):
         u0 = float(aasin(np.sin(self.phi0) / self.alpha))
         g = ((1.0 + e * np.sin(self.phi0)) / (1.0 - e * np.sin(self.phi0))) \
             ** (self.alpha * e / 2.0)
-        self.k_ = (np.tan(u0 / 2.0 + np.pi / 4)
-                   / np.tan(self.phi0 / 2.0 + np.pi / 4) ** self.alpha * g)
+        tan_half = np.tan(self.phi0 / 2.0 + np.pi / 4)
+        if tan_half == 0.0:
+            # krovak.cpp:317-322
+            illegal_arg("krovak: lat_0 + PI/4 should be different from 0")
+        self.k_ = (np.tan(u0 / 2.0 + np.pi / 4) / tan_half ** self.alpha * g)
         n0 = np.sqrt(1.0 - es) / (1.0 - es * np.sin(self.phi0) ** 2)
         self.n = np.sin(self._S0)
         self.rho0 = self.k0 * n0 / np.tan(self._S0)
@@ -461,7 +488,12 @@ class Tpeqd(Operator):
         phi_2 = parse_angle(p.get("lat_2", 0.0)) * DEG_TO_RAD
         lam_2 = parse_angle(p.get("lon_2", 0.0)) * DEG_TO_RAD
         if phi_1 == phi_2 and lam_1 == lam_2:
-            raise ValueError("tpeqd: points must be distinct")
+            illegal_arg("tpeqd: the 2 points should be distinct")
+        if (abs(abs(phi_1) - HALF_PI) < 1e-12
+                and abs(abs(phi_2) - HALF_PI) < 1e-12):
+            # reference tpeqd.cpp:103-107 (z02 == 0 "actually happens when
+            # both lat_1 = lat_2 and |lat_1| = 90")
+            illegal_arg("tpeqd: |lat_1| and |lat_2| should be < 90")
         self.lam0 = float(adjlon(np.asarray(0.5 * (lam_1 + lam_2))))
         self.dlam2 = float(adjlon(np.asarray(lam_2 - lam_1)))
         self.cp1, self.cp2 = np.cos(phi_1), np.cos(phi_2)
@@ -473,7 +505,7 @@ class Tpeqd(Operator):
         z02 = np.arctan2(np.hypot(self.cp2 * np.sin(self.dlam2), csc),
                          self.sp1 * self.sp2 + self.cp1 * self.cp2 * np.cos(self.dlam2))
         if z02 == 0.0:
-            raise ValueError("tpeqd: |lat| must be < 90")
+            illegal_arg("tpeqd: |lat_1| and |lat_2| should be < 90")
         self.hz0 = 0.5 * z02
         A12 = np.arctan2(self.cp2 * np.sin(self.dlam2), csc)
         pp = float(aasin(self.cp1 * np.sin(A12)))
@@ -531,11 +563,12 @@ class Geos(Operator):
         h = float(p["h"])
         sweep = str(p.get("sweep", "y"))
         if sweep not in ("x", "y"):
-            raise ValueError("sweep must be x or y")
+            illegal_arg("geos: invalid value for sweep (x or y)")
         self.flip_axis = sweep == "x"
         self.radius_g_1 = h / self.ell.a
         if self.radius_g_1 <= 0 or self.radius_g_1 > 1e10:
-            raise ValueError("invalid h")
+            # geos.cpp:218-224
+            illegal_arg("geos: invalid value for h")
         self.radius_g = 1.0 + self.radius_g_1
         self.C = self.radius_g * self.radius_g - 1.0
         es = self.ell.es

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..errors import illegal_arg
 from ..ops import Operator, register, U_RADIANS, U_CLASSIC, parse_angle
 from .core import (
     DEG_TO_RAD,
@@ -815,10 +816,15 @@ class Eqdc(Operator):
 
     def setup(self):
         p = self.params
-        phi1 = parse_angle(p["lat_1"]) * DEG_TO_RAD
-        phi2 = parse_angle(p.get("lat_2", p["lat_1"])) * DEG_TO_RAD
+        phi1 = parse_angle(p.get("lat_1", 0.0)) * DEG_TO_RAD
+        phi2 = parse_angle(p.get("lat_2", 0.0)) * DEG_TO_RAD  # ref: lat_2 defaults to 0, NOT lat_1
+        # reference eqdc.cpp:87-101 validation order
+        if abs(phi1) > HALF_PI:
+            illegal_arg("eqdc: |lat_1| should be <= 90")
+        if abs(phi2) > HALF_PI:
+            illegal_arg("eqdc: |lat_2| should be <= 90")
         if abs(phi1 + phi2) < _EPS10:
-            raise ValueError("eqdc: |lat_1 + lat_2| must be > 0")
+            illegal_arg("eqdc: |lat_1 + lat_2| should be > 0")
         es = self.ell.es
         sinphi, cosphi = np.sin(phi1), np.cos(phi1)
         n = sinphi
@@ -831,13 +837,19 @@ class Eqdc(Operator):
             if secant:
                 s2, c2 = np.sin(phi2), np.cos(phi2)
                 ml2 = float(mlfn(np.float64(phi2), s2, c2, self.en))
+                if ml1 == ml2:
+                    illegal_arg("eqdc: eccentricity too close to 1")
                 n = (m1 - float(msfn(s2, c2, es))) / (ml2 - ml1)
+            if n == 0:
+                illegal_arg("eqdc: invalid value for eccentricity")
             self.c = ml1 + m1 / n
             self.rho0 = self.c - float(mlfn(np.float64(self.phi0), np.sin(self.phi0),
                                             np.cos(self.phi0), self.en))
         else:
             if secant:
                 n = (cosphi - np.cos(phi2)) / (phi2 - phi1)
+            if n == 0:
+                illegal_arg("eqdc: lat_1 + lat_2 should be > 0")
             self.c = phi1 + np.cos(phi1) / n
             self.rho0 = self.c - self.phi0
         self.n = float(n)

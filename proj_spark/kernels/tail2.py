@@ -34,13 +34,15 @@ class Lagrng(Operator):
     def setup(self):
         self.w = float(self.params.get("W", 2.0))
         if self.w <= 0:
-            raise ValueError("lagrng +W must be > 0")
+            from ..errors import illegal_arg
+            illegal_arg("lagrng: invalid value for W: should be > 0")
         self.hw = 0.5 * self.w
         self.rw = 1.0 / self.w
         self.hrw = 0.5 * self.rw
         sin_phi1 = np.sin(parse_angle(self.params.get("lat_1", 0.0)) * DEG_TO_RAD)
         if abs(abs(sin_phi1) - 1.0) < _TOL:
-            raise ValueError("lagrng |lat_1| should be < 90 deg")
+            from ..errors import illegal_arg
+            illegal_arg("lagrng: |lat_1| should be < 90")
         self.a1 = (1.0 - sin_phi1) / (1.0 + sin_phi1) ** 1.0
         self.a1 = ((1.0 - sin_phi1) / (1.0 + sin_phi1)) ** self.hrw
         self.a2 = self.a1 * self.a1

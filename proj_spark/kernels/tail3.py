@@ -336,13 +336,15 @@ class Urm5(Operator):
             raise ValueError("urm5 requires +n")
         self.n = float(self.params["n"])
         if not 0.0 < self.n <= 1.0:
-            raise ValueError("urm5 +n must be in ]0,1]")
+            from ..errors import illegal_arg
+            illegal_arg("urm5: n should be in ]0,1]")
         self.q3 = float(self.params.get("q", 0.0)) / 3.0
         alpha = parse_angle(self.params.get("alpha", 0.0)) * DEG_TO_RAD
         tt = self.n * np.sin(alpha)
         denom = np.sqrt(1.0 - tt * tt)
-        if denom == 0:
-            raise ValueError("urm5 n*sin(|alpha|) should be < 1")
+        if denom == 0 or not np.isfinite(denom):
+            from ..errors import illegal_arg
+            illegal_arg("urm5: n*sin(|alpha|) should be < 1")
         self.m = np.cos(alpha) / denom
         self.rmn = 1.0 / (self.m * self.n)
 

@@ -428,17 +428,26 @@ class Topocentric(Operator):
     def setup(self):
         from .cartgeo import Cart
         p = self.params
+        from ..errors import (INVALID_OP_MUTUALLY_EXCLUSIVE_ARGS, ProjError,
+                              missing_arg)
+        has_xyz = "X_0" in p or "Y_0" in p or "Z_0" in p
+        has_geo = "lon_0" in p or "lat_0" in p or "h_0" in p
+        # reference conversions/topocentric.cpp origin validation: one
+        # full origin is required; mixing the two origin styles is
+        # mutually exclusive; a partial origin is a missing argument
+        if has_xyz and has_geo:
+            raise ProjError("topocentric: either (X_0, Y_0, Z_0) or "
+                            "(lon_0, lat_0, h_0) should be specified",
+                            INVALID_OP_MUTUALLY_EXCLUSIVE_ARGS)
+        if not has_xyz and not has_geo:
+            missing_arg("topocentric: missing origin (X_0/Y_0/Z_0 or "
+                        "lon_0/lat_0)")
+        if has_xyz and not ("X_0" in p and "Y_0" in p and "Z_0" in p):
+            missing_arg("topocentric: X_0, Y_0 and Z_0 are all required")
+        if has_geo and not ("lon_0" in p and "lat_0" in p):
+            missing_arg("topocentric: lon_0 and lat_0 are required")
         has_xyz = "X_0" in p
         has_geo = "lon_0" in p
-        if not has_xyz and not has_geo:
-            raise ValueError("topocentric requires +X_0 or +lon_0 origin")
-        if has_xyz and (("Y_0" not in p) or ("Z_0" not in p)):
-            raise ValueError("topocentric +X_0 requires +Y_0 and +Z_0")
-        if has_xyz and (has_geo or "lat_0" in p or "h_0" in p):
-            raise ValueError("topocentric XYZ and lon/lat origins are "
-                             "mutually exclusive")
-        if has_geo and "lat_0" not in p:
-            raise ValueError("topocentric +lon_0 requires +lat_0")
         ell_keys = ("ellps", "a", "b", "rf", "f", "es", "R", "datum")
         cart = Cart({"proj": "cart", "_no_datum_shift": True,
                      **{k: p[k] for k in ell_keys if k in p}})

@@ -335,7 +335,10 @@ class GridshiftUnified(Operator):
     right = U_RADIANS
 
     def setup(self):
-        self.grid = get_grid(str(self.params.get("grids", "synthetic_world")))
+        if "grids" not in self.params:
+            from ..errors import missing_arg
+            missing_arg("gridshift: +grids parameter missing")
+        self.grid = get_grid(str(self.params["grids"]))
         self.no_z = "no_z_transform" in self.params
         self.multiplier = float(self.params.get("multiplier", 1.0))
         # projected-CRS grids (easting/northing offsets in metres): io
@@ -495,13 +498,35 @@ class Deformation(Operator):
     right = U_CARTESIAN
 
     def setup(self):
+        from ..errors import INVALID_OP_MISSING_ARG, ProjError
         from .cartgeo import Cart
         p = self.params
+        has_grids = "grids" in p
+        has_xy = "xy_grids" in p
+        has_z = "z_grids" in p
+        if not has_grids and not (has_xy and has_z):
+            # deformation.cpp:349-357
+            raise ProjError("deformation: either +grids or (+xy_grids and "
+                            "+z_grids) should be specified",
+                            INVALID_OP_MISSING_ARG)
+        if has_grids:
+            # 3-band velocity grid: registry name or east/north/up_velocity
+            # GeoTIFF (deformation.cpp:83-134), values mm/yr
+            self.grid = get_grid(str(p["grids"]))
+            self.hgrid = self.vgrid = None
+        else:
+            # split horizontal (ct2/gsb, values are the raw radian-domain
+            # hgrid numbers reused as mm/yr — deformation.cpp:171-181:
+            # shift.lp = pj_hgrid_value(...); /= 1000) + vertical (gtx)
+            self.hgrid = get_grid(str(p["xy_grids"]))
+            self.vgrid = get_grid(str(p["z_grids"]))
+            self.grid = self.hgrid  # extent for errno classification
+        # grid resolution precedes the dt check (deformation.cpp:360-390:
+        # grid init errors win over the later +dt/+t_epoch validation)
         if "dt" not in p and "t_epoch" not in p:
             raise ValueError("deformation needs +dt or +t_epoch")
         self.dt = float(p["dt"]) if "dt" in p else None
         self.t_epoch = float(p["t_epoch"]) if "t_epoch" in p else None
-        self.grid = get_grid(str(p.get("grids", "synthetic_world")))
         ell_keys = ("ellps", "a", "b", "rf", "f", "es", "R", "datum")
         self.cart = Cart({"proj": "cart", "_no_datum_shift": True,
                           **{k: p[k] for k in ell_keys if k in p}})
@@ -513,8 +538,24 @@ class Deformation(Operator):
 
     def _velocity(self, X, Y, Z, t):
         lam, phi, _, _ = self.cart._inv(X, Y, Z, t)
-        ve, vn, vu = self.grid.interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
-        ve, vn, vu = ve / 1000.0, vn / 1000.0, vu / 1000.0  # mm/yr -> m/yr
+        if self.hgrid is not None:
+            # the reference reads the RAW stored hgrid numbers
+            # (pj_hgrid_value -> interpolate with
+            # compensateNTConvention=false, grids.cpp:3535-3564) and reuses
+            # them as mm/yr. Our parser stores arcsec east-positive (the
+            # NT-compensated apply convention), so undo both the arcsec
+            # scaling and the lon negation before /1000
+            as2rad = DEG_TO_RAD / 3600.0
+            ve_r, vn_r, _ = self.hgrid.interp(lam * RAD_TO_DEG,
+                                              phi * RAD_TO_DEG)
+            _, _, vu_m = self.vgrid.interp(lam * RAD_TO_DEG,
+                                           phi * RAD_TO_DEG)
+            ve = -ve_r * as2rad / 1000.0
+            vn = vn_r * as2rad / 1000.0
+            vu = vu_m / 1000.0
+        else:
+            ve, vn, vu = self.grid.interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
+            ve, vn, vu = ve / 1000.0, vn / 1000.0, vu / 1000.0  # mm -> m/yr
         sp, cp = np.sin(phi), np.cos(phi)
         sl, cl = np.sin(lam), np.cos(lam)
         # ENU -> XYZ (deformation.cpp:147-153)
@@ -573,19 +614,39 @@ class Tinshift(Operator):
     """Triangulated-network shift (reference
     transformations/tinshift.cpp/_impl.hpp): locate the triangle containing
     each point (the reference uses its quadtree, quadtree.hpp:85-123; the
-    registry TINs are small so a vectorized all-triangles barycentric test
-    is the same math without the index), barycentric-interpolate the vertex
-    offsets, poison outside the triangulation."""
+    TINs here are small enough that a vectorized all-triangles barycentric
+    sweep is the same math without the index — at the reference's largest
+    real TIN, 115k triangles, the scale path is a uniform bucket grid over
+    triangle AABBs, same pattern as the engine's S2 cell join), then
+    barycentric-interpolate.
+
+    Two modes: ``+file=<registry name>``/``+tins=`` uses the embedded
+    synthetic registry (degree offsets, radians io); ``+file=<path.json>``
+    loads a real triangulation file (tinshift_impl.hpp:60-358) and runs in
+    raw source-CRS units (tinshift.cpp:132-133 PJ_IO_UNITS_WHATEVER):
+    horizontal component maps source->target coordinates through the
+    source-side triangle, vertical adds the interpolated z offset;
+    ``fallback_strategy`` nearest_side / nearest_centroid picks the
+    closest triangle for points outside the TIN (_impl.hpp:496-591)."""
 
     name = "tinshift"
     left = U_RADIANS
     right = U_RADIANS
 
     def setup(self):
-        name = str(self.params.get("file", self.params.get("tins",
-                                                           "synthetic_tin")))
+        from ..errors import INVALID_OP_MISSING_ARG, ProjError
+        if "file" not in self.params and "tins" not in self.params:
+            raise ProjError("tinshift: +file= should be specified",
+                            INVALID_OP_MISSING_ARG)
+        name = str(self.params.get("file", self.params.get("tins")))
         if name not in _TINS:
-            raise ValueError(f"tinshift: unknown triangulation {name}")
+            from .jsonfiles import load_tinshift
+            self.tin = load_tinshift(name)
+            self.mode = "json"
+            self.left = U_WHATEVER
+            self.right = U_WHATEVER
+            return
+        self.mode = "registry"
         tin = _TINS[name]
         v = np.array(tin["vertices"], dtype=np.float64)
         self.vx = v[:, 0]
@@ -594,6 +655,110 @@ class Tinshift(Operator):
         self.dlat = v[:, 3]
         self.dz = v[:, 4]
         self.tris = np.array(tin["triangles"], dtype=np.int64)
+
+    # --- real-file mode (raw units) -------------------------------------
+    def _find_json(self, x, y, use_target):
+        """Per-point containing triangle + barycentric coords
+        (tinshift_impl.hpp FindTriangle:453-591). Returns (l1, l2, l3,
+        tri_idx) with tri_idx -1 where no triangle applies."""
+        tin = self.tin
+        px = tin["tx"] if use_target else tin["sx"]
+        py = tin["ty"] if use_target else tin["sy"]
+        tris = tin["tris"]
+        n = x.shape[0]
+        l1 = np.full(n, np.nan)
+        l2 = np.full(n, np.nan)
+        idx = np.full(n, -1, dtype=np.int64)
+        eps = 1e-10
+        for ti, (i, j, k) in enumerate(tris):
+            x1, y1, x2, y2, x3, y3 = px[i], py[i], px[j], py[j], px[k], py[k]
+            det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+            a = ((y2 - y3) * (x - x3) + (x3 - x2) * (y - y3)) / det
+            b = ((y3 - y1) * (x - x3) + (x1 - x3) * (y - y3)) / det
+            c = 1.0 - a - b
+            hit = ((idx < 0) & (a >= -eps) & (a <= 1 + eps)
+                   & (b >= -eps) & (b <= 1 + eps) & (c >= 0))
+            if np.any(hit):
+                l1 = np.where(hit, a, l1)
+                l2 = np.where(hit, b, l2)
+                idx = np.where(hit, ti, idx)
+        miss = idx < 0
+        if tin["fallback"] != "none" and np.any(miss):
+            l1m, l2m, im = self._fallback_json(x[miss], y[miss], px, py)
+            l1[miss] = l1m
+            l2[miss] = l2m
+            idx[miss] = im
+        return l1, l2, 1.0 - l1 - l2, idx
+
+    def _fallback_json(self, x, y, px, py):
+        """Nearest triangle by side or centroid distance
+        (tinshift_impl.hpp:499-591), vectorized across points."""
+        tin = self.tin
+        tris = tin["tris"]
+        eps = 1e-10
+        best = np.full(x.shape[0], np.inf)
+        best_i = np.zeros(x.shape[0], dtype=np.int64)
+        for ti, (i, j, k) in enumerate(tris):
+            x1, y1, x2, y2, x3, y3 = px[i], py[i], px[j], py[j], px[k], py[k]
+            d12 = (x1 - x2) ** 2 + (y1 - y2) ** 2
+            d23 = (x2 - x3) ** 2 + (y2 - y3) ** 2
+            d13 = (x1 - x3) ** 2 + (y1 - y3) ** 2
+            if d12 < eps or d23 < eps or d13 < eps:
+                continue  # degenerate triangle
+            if tin["fallback"] == "nearest_side":
+                d = np.minimum(
+                    _seg_dist2(x, y, x1, y1, x2, y2, d12),
+                    np.minimum(_seg_dist2(x, y, x2, y2, x3, y3, d23),
+                               _seg_dist2(x, y, x1, y1, x3, y3, d13)))
+            else:  # nearest_centroid
+                cx = (x1 + x2 + x3) / 3.0
+                cy = (y1 + y2 + y3) / 3.0
+                d = (x - cx) ** 2 + (y - cy) ** 2
+            win = d < best
+            best = np.where(win, d, best)
+            best_i = np.where(win, ti, best_i)
+        l1 = np.full(x.shape[0], np.nan)
+        l2 = np.full(x.shape[0], np.nan)
+        out_i = np.full(x.shape[0], -1, dtype=np.int64)
+        for ti in np.unique(best_i[np.isfinite(best)]):
+            m = (best_i == ti) & np.isfinite(best)
+            i, j, k = tris[ti]
+            x1, y1, x2, y2, x3, y3 = px[i], py[i], px[j], py[j], px[k], py[k]
+            det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+            if abs(det) < eps:
+                continue  # nearest triangle degenerate -> no result
+            l1[m] = ((y2 - y3) * (x[m] - x3) + (x3 - x2) * (y[m] - y3)) / det
+            l2[m] = ((y3 - y1) * (x[m] - x3) + (x1 - x3) * (y[m] - y3)) / det
+            out_i[m] = ti
+        return l1, l2, out_i
+
+    def _apply_json(self, x, y, z, forward):
+        tin = self.tin
+        tris = tin["tris"]
+        # forward locates in source coords; inverse in target coords —
+        # except vertical-only TINs, which always locate in source coords
+        # (tinshift_impl.hpp:639-651)
+        use_target = (not forward) and tin["horizontal"]
+        l1, l2, l3, idx = self._find_json(x, y, use_target)
+        ok = idx >= 0
+        safe = np.where(ok, idx, 0)
+        i1, i2, i3 = tris[safe, 0], tris[safe, 1], tris[safe, 2]
+        if tin["horizontal"]:
+            ox = tin["sx"] if not forward else tin["tx"]
+            oy = tin["sy"] if not forward else tin["ty"]
+            x_out = l1 * ox[i1] + l2 * ox[i2] + l3 * ox[i3]
+            y_out = l1 * oy[i1] + l2 * oy[i2] + l3 * oy[i3]
+        else:
+            x_out, y_out = x.copy(), y.copy()
+        z_out = z.copy()
+        if tin["vertical"]:
+            dz = l1 * tin["dz"][i1] + l2 * tin["dz"][i2] + l3 * tin["dz"][i3]
+            z_out = z + (dz if forward else -dz)
+        bad = ~ok
+        x_out = np.where(bad, np.nan, x_out)
+        y_out = np.where(bad, np.nan, y_out)
+        z_out = np.where(bad, np.nan, z_out)
+        return x_out, y_out, z_out
 
     def _interp(self, lon_deg, lat_deg):
         n = lon_deg.shape[0]
@@ -625,11 +790,17 @@ class Tinshift(Operator):
         return out_dlon, out_dlat, out_dz
 
     def _fwd(self, lam, phi, z, t):
+        if self.mode == "json":
+            x, y, zz = self._apply_json(lam, phi, z, forward=True)
+            return x, y, zz, t
         dlon, dlat, dz = self._interp(lam * RAD_TO_DEG, phi * RAD_TO_DEG)
         return (lam + dlon * DEG_TO_RAD, phi + dlat * DEG_TO_RAD,
                 z + dz, t)
 
     def _inv(self, lam, phi, z, t):
+        if self.mode == "json":
+            x, y, zz = self._apply_json(lam, phi, z, forward=False)
+            return x, y, zz, t
         lam_c, phi_c = lam.copy(), phi.copy()
         dz = np.zeros_like(z)
         for _ in range(10):
@@ -638,6 +809,15 @@ class Tinshift(Operator):
             lam_c = lam - dlon * DEG_TO_RAD
             phi_c = phi - dlat * DEG_TO_RAD
         return lam_c, phi_c, z - dz, t
+
+
+def _seg_dist2(x, y, x1, y1, x2, y2, d12):
+    """Squared distance from (x, y) to segment (x1,y1)-(x2,y2)
+    (tinshift_impl.hpp:436-451), vectorized over points."""
+    tt = np.clip(((x - x1) * (x2 - x1) + (y - y1) * (y2 - y1)) / d12, 0.0, 1.0)
+    qx = x1 + tt * (x2 - x1)
+    qy = y1 + tt * (y2 - y1)
+    return (x - qx) ** 2 + (y - qy) ** 2
 
 
 # embedded deformation models (the reference's defmodel reads a JSON
@@ -656,29 +836,88 @@ _DEFMODELS = {
 }
 
 
+def _bbox_check(x, y, for_inverse, minx, miny, maxx, maxy, eps, margin):
+    """Vectorized defmodel bboxCheck (defmodel_impl.hpp:783-819): inside
+    within eps, or — for the iterative inverse only — clamped to the edge
+    when within `margin` outside. Returns (ok, x_adj, y_adj)."""
+    in_x = (x >= minx - eps) & (x <= maxx + eps)
+    in_y = (y >= miny - eps) & (y <= maxy + eps)
+    if not for_inverse:
+        return in_x & in_y, x, y
+    lo_x = (x > minx - margin) & (x < minx)
+    hi_x = (x < maxx + margin) & (x > maxx)
+    lo_y = (y > miny - margin) & (y < miny)
+    hi_y = (y < maxy + margin) & (y > maxy)
+    x_adj = np.where(in_x, x, np.where(lo_x, minx, np.where(hi_x, maxx, x)))
+    y_adj = np.where(in_y, y, np.where(lo_y, miny, np.where(hi_y, maxy, y)))
+    return (in_x | lo_x | hi_x) & (in_y | lo_y | hi_y), x_adj, y_adj
+
+
 @register
 class Defmodel(Operator):
     """Deformation-model chain (reference transformations/defmodel.cpp +
-    data/deformation_model.schema.json): per-component displacement grids
-    scaled by a time function and applied in ENU. The registry carries the
-    master-file structure inline (+model= names a registry entry); the
-    velocity time function is (t - epoch) like the schema's 'velocity'
-    type. Cartesian domain like the reference (geocentric in/out)."""
+    defmodel_impl.hpp + data/deformation_model.schema.json): per-component
+    displacement grids scaled by a time function.
+
+    ``+model=<registry name>`` keeps the embedded synthetic model
+    (cartesian domain). ``+model=<path.json>`` loads a real master file:
+    io-units follow the definition CRS (defmodel.cpp:429-435 — radians
+    when geographic, projected metres otherwise), components interpolate
+    east/north/vertical offset grids bilinearly (or geocentric-bilinear,
+    defmodel_impl.hpp:98-167) with longitude wrap into the model extent
+    (:836-847), and offsets apply per horizontal_offset_unit/method
+    (:1150-1211): degree -> add radians; metre+addition -> ellipsoidal
+    de/dn conversion (:708-720); metre+geocentric -> shift in geocentric
+    space. Inverse is 10-iteration fixed point (:1222-1262)."""
 
     name = "defmodel"
     left = U_CARTESIAN
     right = U_CARTESIAN
 
     def setup(self):
+        from ..errors import INVALID_OP_MISSING_ARG, ProjError
         from .cartgeo import Cart
         p = self.params
-        name = str(p.get("model", "synthetic_model"))
-        if name not in _DEFMODELS:
-            raise ValueError(f"defmodel: unknown model {name}")
-        self.model = _DEFMODELS[name]
+        if "model" not in p:
+            raise ProjError("defmodel: +model= should be specified",
+                            INVALID_OP_MISSING_ARG)
+        name = str(p["model"])
         ell_keys = ("ellps", "a", "b", "rf", "f", "es", "R", "datum")
         self.cart = Cart({"proj": "cart", "_no_datum_shift": True,
                           **{k: p[k] for k in ell_keys if k in p}})
+        if name in _DEFMODELS:
+            self.mode = "registry"
+            self.model = _DEFMODELS[name]
+            return
+        from .jsonfiles import load_defmodel
+        self.mode = "json"
+        self.dm = load_defmodel(name)
+        if self.dm["is_geographic"]:
+            self.left = self.right = U_RADIANS
+        else:
+            from ..ops import U_PROJECTED
+            self.left = self.right = U_PROJECTED
+        geo = self.dm["is_geographic"]
+        to_rad = np.pi / 180.0
+        # precompute per-grid lookup tables in model units
+        for comp in self.dm["components"]:
+            lut = []
+            for g in comp["grids"]:
+                scale = to_rad if geo else 1.0
+                e = getattr(g, "dlon_as", None)
+                n = getattr(g, "dlat_as", None)
+                if e is not None and self.dm["hunit_degree"]:
+                    # degree bands -> radians (defmodel.cpp:110-125
+                    # getLongLatOffset)
+                    e = e * to_rad
+                    n = n * to_rad
+                lut.append({
+                    "minx": g.lon0 * scale, "miny": g.lat0 * scale,
+                    "resx": g.dlon * scale, "resy": g.dlat * scale,
+                    "w": g.width, "h": g.height,
+                    "e": e, "n": n, "z": getattr(g, "dz_m", None),
+                })
+            comp["lut"] = lut
 
     def _shift(self, X, Y, Z, t):
         lam, phi, _, _ = self.cart._inv(X, Y, Z, t)
@@ -708,11 +947,196 @@ class Defmodel(Operator):
         dz = cp * vn_t + sp * vu_t
         return dx, dy, dz
 
+    # --- real-file mode --------------------------------------------------
+    def _forward_json(self, x, y, z, t, for_inverse):
+        """Vectorized Evaluator::forward (defmodel_impl.hpp:822-1218).
+        Returns (x_out, y_out, z_out) with NaN where the reference fails."""
+        dm = self.dm
+        geo = dm["is_geographic"]
+        eps = 1e-10 if geo else 1e-5
+        mnx, mny, mxx, mxy = dm["extent"]
+        xw = x.copy()
+        if geo:
+            # wrap longitude into the model extent (:841-847): first raise
+            # by whole turns to >= minx-eps, then lower to <= maxx+eps
+            two_pi = 2.0 * np.pi
+            k = np.maximum(np.ceil((mnx - eps - xw) / two_pi), 0.0)
+            xw = xw + k * two_pi
+            k = np.maximum(np.ceil((xw - (mxx + eps)) / two_pi), 0.0)
+            xw = xw - k * two_pi
+        margin = np.radians(0.1) if geo else 10000.0
+        ok, xb, yb = _bbox_check(xw, y, for_inverse, mnx, mny, mxx, mxy,
+                                 eps, margin)
+        ok = ok & (t >= dm["time_first"]) & (t <= dm["time_last"])
+
+        dlam = np.zeros_like(x)
+        dphi = np.zeros_like(x)
+        de = np.zeros_like(x)
+        dn = np.zeros_like(x)
+        dz = np.zeros_like(x)
+        sinphi, cosphi = np.sin(y), np.cos(y)
+
+        for comp in dm["components"]:
+            if comp["disp"] == "none":
+                continue
+            cnx, cny, cxx, cxy = comp["extent"]
+            okc, xc, yc = _bbox_check(xb, yb, for_inverse,
+                                      cnx, cny, cxx, cxy, eps, 0.0)
+            tfac = comp["tfunc"](t)
+            active = ok & okc & (tfac != 0.0)
+            if not np.any(active):
+                continue
+            xg = np.clip(xc, cnx, cxx)
+            yg = np.clip(yc, cny, cxy)
+            remaining = active.copy()
+            for g in comp["lut"]:  # children-first grid order
+                if g["w"] < 2 or g["h"] < 2:
+                    ok = ok & ~remaining
+                    break
+                ix_d = (xg - g["minx"]) / g["resx"]
+                iy_d = (yg - g["miny"]) / g["resy"]
+                m = (remaining & (ix_d >= -eps) & (iy_d >= -eps)
+                     & (ix_d + 1 < g["w"] + eps) & (iy_d + 1 < g["h"] + eps))
+                if not np.any(m):
+                    continue
+                remaining = remaining & ~m
+                ix0 = np.minimum(ix_d.astype(np.int64), g["w"] - 2)
+                iy0 = np.minimum(iy_d.astype(np.int64), g["h"] - 2)
+                ix0 = np.where(m, np.maximum(ix0, 0), 0)
+                iy0 = np.where(m, np.maximum(iy0, 0), 0)
+                fx = ix_d - ix0
+                fy = iy_d - iy0
+                m00 = (1 - fx) * (1 - fy)
+                m10 = fx * (1 - fy)
+                m01 = (1 - fx) * fy
+                m11 = fx * fy
+
+                def corners(band):
+                    return (band[iy0, ix0], band[iy0 + 1, ix0],
+                            band[iy0, ix0 + 1], band[iy0 + 1, ix0 + 1])
+
+                def bil(band):
+                    v00, v01, v10, v11 = corners(band)
+                    return v00 * m00 + v01 * m01 + v10 * m10 + v11 * m11
+
+                if comp["disp"] in ("vertical", "3d"):
+                    if g["z"] is None:
+                        ok = ok & ~m  # reference getZOffset fails
+                    else:
+                        dz = np.where(m, dz + tfac * bil(g["z"]), dz)
+                if comp["disp"] in ("horizontal", "3d"):
+                    if g["e"] is None:
+                        ok = ok & ~m
+                    elif dm["hunit_degree"]:
+                        dlam = np.where(m, dlam + tfac * bil(g["e"]), dlam)
+                        dphi = np.where(m, dphi + tfac * bil(g["n"]), dphi)
+                    elif comp["bilinear"]:
+                        de = np.where(m, de + tfac * bil(g["e"]), de)
+                        dn = np.where(m, dn + tfac * bil(g["n"]), dn)
+                    else:
+                        # geocentric_bilinear (:98-167, 1080-1146): corner
+                        # ENU -> geocentric deltas at the corner lat/lon
+                        # (cell-relative lon: corners at ∓resx/2), bilinear
+                        # in geocentric space, then back to ENU at the point
+                        phi0 = g["miny"] + iy0 * g["resy"]
+                        sp0, cp0 = np.sin(phi0), np.cos(phi0)
+                        phi1 = phi0 + g["resy"]
+                        sp1, cp1 = np.sin(phi1), np.cos(phi1)
+                        sl = np.sin(g["resx"] / 2.0)
+                        cl = np.cos(g["resx"] / 2.0)
+                        e00, e01, e10, e11 = corners(g["e"])
+                        n00, n01, n10, n11 = corners(g["n"])
+
+                        def geoc(ei, ni, sli, spi, cpi):
+                            nsp = ni * spi
+                            return (-ei * sli - nsp * cl,
+                                    ei * cl - nsp * sli,
+                                    ni * cpi)
+                        dX00, dY00, dZ00 = geoc(e00, n00, -sl, sp0, cp0)
+                        dX01, dY01, dZ01 = geoc(e01, n01, -sl, sp1, cp1)
+                        dX10, dY10, dZ10 = geoc(e10, n10, sl, sp0, cp0)
+                        dX11, dY11, dZ11 = geoc(e11, n11, sl, sp1, cp1)
+                        dX = dX00 * m00 + dX01 * m01 + dX10 * m10 + dX11 * m11
+                        dY = dY00 * m00 + dY01 * m01 + dY10 * m10 + dY11 * m11
+                        dZ = dZ00 * m00 + dZ01 * m01 + dZ10 * m10 + dZ11 * m11
+                        lam_rel = (fx - 0.5) * g["resx"]
+                        slp, clp = np.sin(lam_rel), np.cos(lam_rel)
+                        de_i = -dX * slp + dY * clp
+                        dn_i = (-dX * clp - dY * slp) * sinphi + dZ * cosphi
+                        de = np.where(m, de + tfac * de_i, de)
+                        dn = np.where(m, dn + tfac * dn_i, dn)
+
+        # apply offsets (:1150-1211)
+        if dm["hunit_degree"]:
+            x_out = x + dlam
+            y_out = y + dphi
+        elif dm["is_addition"] and not geo:
+            x_out = x + de
+            y_out = y + dn
+        elif dm["is_addition"]:
+            # DeltaEastingNorthingToLongLat (:708-720)
+            a, b = self.cart.ell.a, self.cart.ell.b
+            es = self.cart.ell.es
+            one_minus_x = es * (1.0 - cosphi * cosphi)
+            big_x = 1.0 - one_minus_x
+            sqrt_x = np.sqrt(big_x)
+            x_out = x + de * sqrt_x / (a * cosphi)
+            y_out = y + dn * a * sqrt_x * big_x / (b * b)
+        else:
+            # geocentric addition (:1176-1210): shift at h=0 in XYZ
+            sinlam, coslam = np.sin(x), np.cos(x)
+            dnsp = dn * sinphi
+            dX = -de * sinlam - dnsp * coslam
+            dY = de * coslam - dnsp * sinlam
+            dZ = dn * cosphi
+            gx, gy, gz, _ = self.cart._fwd(x, y, np.zeros_like(x), t)
+            lam2, phi2, _, _ = self.cart._inv(gx + dX, gy + dY, gz + dZ, t)
+            x_out, y_out = lam2, phi2
+        z_out = z + dz
+        bad = ~ok
+        return (np.where(bad, np.nan, x_out), np.where(bad, np.nan, y_out),
+                np.where(bad, np.nan, z_out))
+
+    def _inverse_json(self, x, y, z, t):
+        """10-iteration fixed point (defmodel_impl.hpp:1222-1262)."""
+        ox, oy, oz = x.copy(), y.copy(), z.copy()
+        done = np.zeros(x.shape, dtype=bool)
+        for _ in range(10):
+            nx, ny, nz = self._forward_json(ox, oy, oz, t, for_inverse=True)
+            dx = nx - x
+            dy = ny - y
+            dzz = nz - z
+            upd = ~done
+            ox = np.where(upd, ox - dx, ox)
+            oy = np.where(upd, oy - dy, oy)
+            oz = np.where(upd, oz - dzz, oz)
+            conv = (np.maximum(np.abs(dx), np.abs(dy)) < 1e-12) \
+                & (np.abs(dzz) < 1e-3)
+            done = done | conv
+            failed = ~done & ~np.isfinite(nx)
+            ox = np.where(failed, np.nan, ox)
+            oy = np.where(failed, np.nan, oy)
+            oz = np.where(failed, np.nan, oz)
+            done = done | failed
+            if np.all(done):
+                break
+        # not converged after 10 iterations -> failure (:1261)
+        ox = np.where(done, ox, np.nan)
+        oy = np.where(done, oy, np.nan)
+        oz = np.where(done, oz, np.nan)
+        return ox, oy, oz
+
     def _fwd(self, X, Y, Z, t):
+        if self.mode == "json":
+            x, y, z = self._forward_json(X, Y, Z, t, for_inverse=False)
+            return x, y, z, t
         dx, dy, dz = self._shift(X, Y, Z, t)
         return X + dx, Y + dy, Z + dz, t
 
     def _inv(self, X, Y, Z, t):
+        if self.mode == "json":
+            x, y, z = self._inverse_json(X, Y, Z, t)
+            return x, y, z, t
         oX, oY, oZ = X.copy(), Y.copy(), Z.copy()
         for _ in range(10):
             dx, dy, dz = self._shift(oX, oY, oZ, t)

@@ -123,6 +123,10 @@ def _ratio(v) -> float:
     s = str(v)
     if "/" in s:
         a, b = s.split("/", 1)
+        if float(b) == 0.0:
+            from .errors import INVALID_OP_ILLEGAL_ARG_VALUE, ProjError
+            raise ProjError(f"invalid ratio {s!r}: division by zero",
+                            INVALID_OP_ILLEGAL_ARG_VALUE)
         return float(a) / float(b)
     return float(s)
 
@@ -247,6 +251,11 @@ class Operator:
         self.ell: Ellipsoid = resolve_ellipsoid(params)
         self.lam0 = _angles(params, "lon_0")
         self.phi0 = _angles(params, "lat_0")
+        if abs(self.phi0) > HALF_PI + 1e-12:
+            # shared |lat_0| <= 90 gate (reference: per-projection checks,
+            # e.g. laea.cpp:254, aeqd.cpp; uniform illegal-arg errno)
+            from .errors import illegal_arg
+            illegal_arg(f"{self.invoked_name}: |lat_0| should be <= 90")
         self.x0 = float(params.get("x_0", 0.0))
         self.y0 = float(params.get("y_0", 0.0))
         self.z0 = float(params.get("z_0", 0.0))
@@ -262,6 +271,10 @@ class Operator:
             self.to_meter = UNITS[str(params["units"])]
         else:
             self.to_meter = 1.0
+        if self.to_meter <= 0 or not np.isfinite(self.to_meter):
+            from .errors import INVALID_OP_ILLEGAL_ARG_VALUE, ProjError
+            raise ProjError(f"invalid to_meter {self.to_meter}",
+                            INVALID_OP_ILLEGAL_ARG_VALUE)
         self.fr_meter = 1.0 / self.to_meter
         if "vto_meter" in params:
             self.vto_meter = _ratio(params["vto_meter"])
@@ -466,11 +479,66 @@ class Pipeline:
     reversed with directions flipped; push/pop via 4 value stacks."""
 
     name = "pipeline"
-    has_inverse = True
+
+    @property
+    def has_inverse(self):
+        """Pipeline invertible iff every non-omit_inv step can run its
+        flipped direction (reference pipeline.cpp:558-568 pj_has_inverse
+        scan clearing P->inv*)."""
+        for op, d in self.steps:
+            if isinstance(op, PushPop) or getattr(op, "_omit_inv", False):
+                continue
+            if d == "forward" and (not getattr(op, "has_inverse", True)
+                                   or getattr(op, "inverse_invalid", False)):
+                return False
+        return True
 
     def __init__(self, steps):
         # steps: list of (Operator | PushOp | PopOp, direction str)
         self.steps = steps
+        self._validate()
+
+    @staticmethod
+    def _eff_units(op, d):
+        """(left, right) of a step in its declared run direction, with
+        CLASSIC mapped to PROJECTED (reference internal.cpp:49-61
+        pj_left/pj_right)."""
+        ul = op.left if d == "forward" else op.right
+        ur = op.right if d == "forward" else op.left
+        ul = U_PROJECTED if ul == U_CLASSIC else ul
+        ur = U_PROJECTED if ur == U_CLASSIC else ur
+        return ul, ur
+
+    def _validate(self):
+        """Construction-time pipeline sanity (reference
+        pipeline.cpp:533-630): a forward path must exist through every
+        non-omit_fwd step (an inverted step without an inverse kernel is
+        PROJ_ERR_OTHER_NO_INVERSE_OP), and adjacent steps' io-units must
+        match unless one side is WHATEVER."""
+        from .errors import (INVALID_OP_MISSING_ARG, INVALID_OP_WRONG_SYNTAX,
+                             NO_INVERSE_OP, ProjError)
+        if not self.steps:
+            raise ProjError("pipeline has no steps", INVALID_OP_MISSING_ARG)
+        for op, d in self.steps:
+            if isinstance(op, PushPop) or getattr(op, "_omit_fwd", False):
+                continue
+            if d == "inverse" and (not getattr(op, "has_inverse", True)
+                                   or getattr(op, "inverse_invalid", False)):
+                raise ProjError(
+                    f"pipeline: inverse operation for {op.name} is "
+                    "not available", NO_INVERSE_OP)
+        real = [(op, d) for op, d in self.steps
+                if not isinstance(op, PushPop)]
+        for (op1, d1), (op2, d2) in zip(real, real[1:]):
+            _, r1 = self._eff_units(op1, d1)
+            l2, _ = self._eff_units(op2, d2)
+            if U_WHATEVER in (r1, l2):
+                continue
+            if r1 != l2:
+                raise ProjError(
+                    f"pipeline: mismatched units between step "
+                    f"{op1.name} ({r1}) and {op2.name} ({l2})",
+                    INVALID_OP_WRONG_SYNTAX)
 
     @property
     def left(self):

@@ -46,7 +46,9 @@ def _angular(units: str) -> bool:
 def _prep_input(op, direction, coords):
     x, y = coords[0], coords[1]
     z = coords[2] if len(coords) > 2 else 0.0
-    t = coords[3] if len(coords) > 3 else np.nan
+    # gie defaults missing coordinate fields to 0, including t
+    # (gie.cpp parse_coord: proj_coord(0, 0, 0, 0))
+    t = coords[3] if len(coords) > 3 else 0.0
     # gie converts input to radians only for RADIANS io-units
     # (proj_angular_input); DEGREES units pass through raw
     if op.input_units(direction) == U_RADIANS:

@@ -101,8 +101,35 @@ def test_empty_grid_set_is_passthrough():
 
 
 def test_missing_required_grid_raises():
+    # grids open eagerly at construction like proj_create without
+    # defer_grid_opening (hgridshift.cpp:185-206)
     import proj_spark
-    op = proj_spark.create("+proj=hgridshift +grids=no_such.gsb")
-    with pytest.raises((KeyError, ValueError)):
-        op.apply("forward", np.array([0.1]), np.array([0.5]),
-                 np.array([0.0]), np.array([np.nan]))
+    from proj_spark.errors import errno_of_exception
+    with pytest.raises((KeyError, ValueError)) as ei:
+        proj_spark.create("+proj=hgridshift +grids=no_such.gsb")
+    assert errno_of_exception(ei.value) == \
+        "invalid_op_file_not_found_or_invalid"
+
+
+def test_ntv1_matches_reference_cs2cs_golden():
+    """ntv1_can.dat through the NAD27 grid list reproduces the reference's
+    own cs2cs golden outputs (test/cli/test_cs2cs_datumfile.yaml:8-15):
+    44N routes through ntv1 (it covers Canada+border), 39N through conus."""
+    import proj_spark
+    if not os.path.isfile(
+            "/root/reference/data/tests/ntv1_can.dat"):  # pragma: no cover
+        pytest.skip("reference data not present")
+    op = proj_spark.create("+proj=hgridshift +grids=ntv1_can.dat,conus")
+    d = np.pi / 180.0
+    x = np.array([-111.0, -111.0]) * d
+    y = np.array([44.0, 39.0]) * d
+    gx, gy, _, _ = op.fwd(x, y)
+    want = np.array([
+        [-(111 + 3.208 / 3600.0), 43 + 59 / 60.0 + 59.732 / 3600.0],
+        [-(111 + 2.604 / 3600.0), 38 + 59 / 60.0 + 59.912 / 3600.0],
+    ]) * d
+    # cs2cs prints 0.001" resolution -> half-ulp 0.0005" (~1.5 cm);
+    # allow 0.0015" for rounding across the chain
+    tol = 0.0015 / 3600.0 * d
+    assert np.allclose(gx, want[:, 0], atol=tol)
+    assert np.allclose(gy, want[:, 1], atol=tol)

@@ -66,7 +66,8 @@ def _grid_supported(name: str) -> bool:
             if os.path.isfile(cand):
                 with open(cand, "rb") as f:
                     head = f.read(64)
-                if head.startswith(b"CTABLE V2") or head[0:8] == b"NUM_OREC":
+                if head.startswith(b"CTABLE V2") or head[0:8] == b"NUM_OREC" \
+                        or head.startswith(b"HEADER"):
                     return True
                 if cand.endswith(".gtx"):
                     return True
@@ -131,8 +132,17 @@ def _tol_to_m(val: float, unit: str) -> float:
     return val * scale
 
 
-def parse_gie(path: str) -> list[dict]:
+def parse_gie(path: str, drops: dict | None = None) -> list[dict]:
+    """Parse one gie file. Every expect/accept line that cannot become a
+    record increments a counter in `drops` — nothing vanishes silently
+    (round-2 VERDICT: all 24 nkg.gie blocks were dropped with no trace)."""
     records = []
+    if drops is None:
+        drops = {}
+
+    def drop(reason: str):
+        drops[reason] = drops.get(reason, 0) + 1
+
     suite = os.path.splitext(os.path.basename(path))[0]
     with open(path, encoding="utf-8", errors="replace") as f:
         lines = f.readlines()
@@ -210,12 +220,25 @@ def parse_gie(path: str) -> list[dict]:
             try:
                 accept = [_coord(v) for v in toks[1:]]
             except ValueError:
+                drop(f"{suite}:accept-unparseable")
                 accept = None
         elif verb == "expect":
-            if accept is None:
+            if accept is None and toks[1] != "failure":
+                drop(f"{suite}:expect-without-accept")
                 continue
             if toks[1] == "failure":
                 errno = toks[-1] if "errno" in toks else None
+                if op_def and accept is None:
+                    # construction-time failure block (no accept yet):
+                    # keep it — the harness asserts the op fails to build
+                    records.append({
+                        "suite": suite, "op_def": op_def,
+                        "direction": direction,
+                        "expect_failure": True, "errno": errno,
+                        "tolerance_m": tolerance,
+                    })
+                    last_expect_ok = False
+                    continue
                 if accept is not None and op_def:
                     records.append({
                         "suite": suite, "op_def": op_def,
@@ -257,6 +280,12 @@ def filter_supported(records: list[dict]) -> tuple[list[dict], dict]:
     for r in records:
         names = _proj_names(r["op_def"])
         if not names:
+            # URN/registry-resolved operations (e.g. nkg.gie
+            # urn:ogc:def:coordinateOperation:NKG::...): those resolve via
+            # proj.db to pipelines over eur_nkg_nkgrf*vel.tif grids that
+            # the reference does NOT ship (proj-data CDN only), so they
+            # cannot run here — counted, never silent
+            skipped["no_proj_string"] = skipped.get("no_proj_string", 0) + 1
             continue
         unsup = [n for n in names if n not in SUPPORTED_OPS]
         if unsup:
@@ -298,7 +327,11 @@ def main():
                                                    "GDA.gie",
                                                    "DHDN_ETRS89.gie",
                                                    "nkg.gie",
-                                                   "gridshift.gie"]
+                                                   "gridshift.gie",
+                                                   "tinshift.gie",
+                                                   "defmodel.gie",
+                                                   "deformation.gie",
+                                                   "geotiff_grids.gie"]
                     + [f"gigs/{n}" for n in (
                         "5101.1-jhs.gie", "5101.2-jhs.gie", "5101.3-jhs.gie",
                         "5101.4-jhs-etmerc.gie", "5102.1.gie", "5102.2.gie",
@@ -310,6 +343,7 @@ def main():
 
     SUPPORTED_OPS.update(_supported_ops())
     all_records = []
+    parse_drops: dict[str, int] = {}
     for name in args.files:
         sub = "gigs" if name.startswith("gigs/") else "gie"
         path = os.path.join(args.reference, "test", sub,
@@ -317,8 +351,10 @@ def main():
         if not os.path.exists(path):
             print(f"missing {path}", file=sys.stderr)
             continue
-        all_records.extend(parse_gie(path))
+        all_records.extend(parse_gie(path, parse_drops))
     kept, skipped = filter_supported(all_records)
+    for k, v in parse_drops.items():
+        skipped[f"parse:{k}"] = skipped.get(f"parse:{k}", 0) + v
     out = os.path.abspath(args.out)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
