@@ -91,7 +91,8 @@ def _unit_matrix(cents) -> np.ndarray:
 
 def ivf_topk(spark, emb: DataFrame, cents, k: int = 5,
              nprobe: int = 2, query_mod: int = 50,
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             sim_round: int | None = None) -> DataFrame:
     """IVF top-k: centroids broadcast as a numpy matrix -> nearest-centroid
     bucket per vector computed MAP-SIDE (vectorized pandas UDF: one matmul
     per Arrow batch, no shuffle, bucket carried with v/norm so no join-back)
@@ -129,10 +130,13 @@ def ivf_topk(spark, emb: DataFrame, cents, k: int = 5,
 
     cand = (qprobe.join(eb, on="cid")
                   .filter(F.col("vec_id") != F.col("qid")))
+    sim_expr = _cos(F.col("qv"), F.col("qnorm"), F.col("v"), F.col("norm"))
+    if sim_round is not None:
+        # round before ranking so a SQL oracle's summation order can't
+        # flip near-tied ranks (same convention as querylib's ANN oracles)
+        sim_expr = F.round(sim_expr, sim_round)
     scored = cand.select(
-        "qid", F.col("vec_id").alias("nid"),
-        _cos(F.col("qv"), F.col("qnorm"), F.col("v"), F.col("norm"))
-        .alias("sim"))
+        "qid", F.col("vec_id").alias("nid"), sim_expr.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)

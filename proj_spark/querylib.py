@@ -1828,6 +1828,49 @@ def q_ann_ivf_top5(spark, sf_dir):
                   .select("qid", "nid", F.round("sim", 6).alias("sim"), "rank"))
 
 
+@q("ann_ivf_trained_top5", """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT qs.qid, e.vec_id AS nid,
+         ROUND(list_cosine_similarity(qs.qv, e.v), 9) AS sim
+  FROM qs, e
+  WHERE e.vec_id <> qs.qid
+),
+ranked AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM pairs
+)
+SELECT qid, nid, ROUND(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= 5
+""")
+def q_ann_ivf_trained_top5(spark, sf_dir):
+    """PRODUCTION trained-IVF path, driver-certified (r2 VERDICT item 7):
+    spherical k-means centroids trained on a bounded driver sample
+    (ann.train_centroids), MAP-SIDE bucket assignment via a vectorized
+    pandas UDF over broadcast centroids (no shuffle), probe + exact
+    rerank (ann.ivf_topk). The probe budget here is ALL buckets, where
+    IVF's only loss — bucket pruning — is provably zero, so the result
+    must EQUAL exact brute-force cosine top-5: that equality gives the
+    trained path a value-level SQL oracle (trained centroids are not
+    SQL-expressible, full-probe equivalence is). Pruned-probe recall
+    (0.44 @ 2-probe -> 1.0 full probe) is asserted in tests/test_ann.py.
+    """
+    from pyspark.sql import functions as F
+
+    from . import ann
+
+    emb = spark.table("embeddings")
+    cents = ann.train_centroids(emb, k=14)
+    out = ann.ivf_topk(spark, emb, cents, k=5, nprobe=len(cents),
+                       sim_round=9)
+    return out.select("qid", "nid", F.round("sim", 6).alias("sim"), "rank")
+
+
 # ===========================================================================
 # Projection-family coverage queries (VERDICT r1 item 5): one oracle-checked
 # query per remaining big family — moll (pseudocylindrical w/ Newton),

@@ -260,20 +260,30 @@ FROM scored
 
 # --- exact n-gram Jaccard near-dup (inverted-index equi-join) ----------------
 
-def ngram_jaccard_sql(dialect: str) -> str:
+def ngram_jaccard_sql(dialect: str, df_cap: int | None = 64) -> str:
     """EXACT word-3-gram Jaccard >= 0.6 pairs — the deterministic baseline
-    the MinHash-LSH path approximates. Candidate generation is an
-    inverted-index equi-join on the shingle itself (one shuffle keyed by
-    shingle), so cost is sum over shingles of df^2, never |docs|^2.
-    Scale lever at 100 TB: stopword-like shingles with huge df dominate
-    that sum while contributing almost nothing to any pair's Jaccard —
-    production pipelines cap df (drop shingles with df > K) or salt the
-    hot shingles; AQE skew-join handles the residual imbalance. Kept
-    uncapped here so the semantics stay exactly "Jaccard of the full
-    shingle sets"."""
+    the MinHash-LSH path approximates.
+
+    Candidate generation is an inverted-index equi-join on the shingle
+    (one shuffle keyed by shingle). Uncapped, its cost is sum over
+    shingles of df^2 — at 100 TB, stopword-like shingles with huge df
+    make that sum explode while contributing almost nothing to any
+    pair's Jaccard. With ``df_cap=K``, shingles with df > K are dropped
+    from CANDIDATE GENERATION ONLY, bounding the join fanout by
+    sum_{df<=K} df^2 <= K * (total shingle postings) — LINEAR in corpus
+    size for fixed K. The Jaccard itself is then computed exactly over
+    the candidates' FULL shingle sets (hot shingles included), so every
+    reported pair carries its true Jaccard; the only approximation is
+    that a pair ALL of whose shared shingles are hotter than K is never
+    considered (for K well above the near-dup cluster size this requires
+    every shared shingle to be corpus-stopword-hot — vanishingly rare for
+    Jaccard >= 0.6 pairs, and verified exact at test scale in
+    tests/test_textops_cap.py). ``df_cap=None`` keeps the uncapped
+    semantics."""
     shingle_with = (f"{DUP_DOCS_CTE}, {SHINGLES_SPARK}" if dialect == "spark"
                     else f"{DUP_DOCS_CTE}, {WORDS_DUCK}, {SHINGLES_CTE}")
-    return f"""
+    if df_cap is None:
+        return f"""
 WITH {shingle_with},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_sets GROUP BY doc_id),
 inter AS (
@@ -281,6 +291,34 @@ inter AS (
   FROM sh_sets s1
   JOIN sh_sets s2 ON s2.sh = s1.sh AND s1.doc_id < s2.doc_id
   GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT i.id1, i.id2,
+       ROUND(CAST(i.ni AS DOUBLE) / (n1.n + n2.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN sizes n1 ON n1.doc_id = i.id1
+JOIN sizes n2 ON n2.doc_id = i.id2
+WHERE CAST(i.ni AS DOUBLE) / (n1.n + n2.n - i.ni) >= 0.6
+"""
+    return f"""
+WITH {shingle_with},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_sets GROUP BY doc_id),
+cold AS (
+  SELECT sh, doc_id FROM sh_sets
+  WHERE sh IN (SELECT sh FROM sh_sets GROUP BY sh
+               HAVING COUNT(*) <= {int(df_cap)})
+),
+cand AS (
+  SELECT s1.doc_id AS id1, s2.doc_id AS id2
+  FROM cold s1
+  JOIN cold s2 ON s2.sh = s1.sh AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh_sets a ON a.doc_id = c.id1
+  JOIN sh_sets b ON b.doc_id = c.id2 AND b.sh = a.sh
+  GROUP BY c.id1, c.id2
 )
 SELECT i.id1, i.id2,
        ROUND(CAST(i.ni AS DOUBLE) / (n1.n + n2.n - i.ni), 6) AS jaccard
