@@ -299,7 +299,8 @@ def crs_is_geographic(crs: str) -> bool:
     return steps[0].get("proj") in _GEOGRAPHIC_PROJS
 
 
-def create_crs_to_crs(src: str, dst: str) -> Pipeline:
+def create_crs_to_crs(src: str, dst: str,
+                      use_registry: bool = False) -> Pipeline:
     """Build the cs2cs-equivalent pipeline src CRS -> dst CRS.
 
     Mirrors the reference's prepared-operation construction for the
@@ -309,10 +310,31 @@ def create_crs_to_crs(src: str, dst: str) -> Pipeline:
                     -> [dst towgs84: cart -> helmert^-1 -> cart^-1]
                     -> fwd(dst proj)
 
+    With ``use_registry=True`` and two geodetic EPSG codes, the datum leg
+    instead comes from the EPSG transformation registry's best-ranked
+    candidate (transform_candidates — accuracy/area ordering incl.
+    WGS84-pivot compositions, the reference's
+    AuthorityFactory::createFromCoordinateReferenceSystemCodes path);
+    per-COORDINATE candidate selection is CrsToCrsDispatcher.
+
     Coordinates are (lon, lat) in degrees in, (x, y) CRS units out; the
     engine universally uses GIS (lon,lat) order (axis normalization the
     reference applies via proj_normalize_for_visualization).
     """
+    if use_registry:
+        src_n = normalize_crs_def(src)
+        dst_n = normalize_crs_def(dst)
+        if (src_n.upper().startswith("EPSG:")
+                and dst_n.upper().startswith("EPSG:")):
+            s_code = int(src_n.split(":")[1])
+            d_code = int(dst_n.split(":")[1])
+            for cand in transform_candidates(s_code, d_code):
+                try:
+                    return registry_datum_pipeline(s_code, d_code, cand)
+                except (KeyError, ValueError):
+                    # unresolvable grid file: try the next candidate
+                    # (reference grid-free fallback, 4D_api.cpp:436-530)
+                    continue
     src = normalize_crs_def(src)
     dst = normalize_crs_def(dst)
     src_def = epsg_to_proj(int(src.split(":")[1])) if src.upper().startswith("EPSG:") else src
@@ -356,19 +378,27 @@ def create_crs_to_crs(src: str, dst: str) -> Pipeline:
     if s_tw != d_tw:
         from .kernels.datum import Helmert
         from .kernels.cartgeo import Cart
+        # the cart legs must NOT re-apply op-level datum handling: the
+        # shift is this pipeline's own explicit Helmert leg (previously a
+        # +datum= CRS put the implicit shift on the Cart step too, and the
+        # two cancelled into a silent identity — r3 fix)
         if s_tw is not None:
             ell_s = {k: sp[k] for k in ("ellps", "a", "b", "rf", "R", "datum") if k in sp}
-            steps.append((Cart({"proj": "cart", **ell_s}), "forward"))
+            steps.append((Cart({"proj": "cart", "_no_datum_shift": True,
+                                **ell_s}), "forward"))
             steps.append((Helmert(_helmert_params(s_tw)), "forward"))
-            steps.append((Cart({"proj": "cart", "ellps": "WGS84"}), "inverse"))
+            steps.append((Cart({"proj": "cart", "ellps": "WGS84",
+                                "_no_datum_shift": True}), "inverse"))
             cur_ell = {"ellps": "WGS84"}
         else:
             cur_ell = {k: sp[k] for k in ("ellps", "a", "b", "rf", "R", "datum") if k in sp}
         if d_tw is not None:
             ell_d = {k: dp[k] for k in ("ellps", "a", "b", "rf", "R", "datum") if k in dp}
-            steps.append((Cart({"proj": "cart", **cur_ell}), "forward"))
+            steps.append((Cart({"proj": "cart", "_no_datum_shift": True,
+                                **cur_ell}), "forward"))
             steps.append((Helmert(_helmert_params(d_tw)), "inverse"))
-            steps.append((Cart({"proj": "cart", **ell_d}), "inverse"))
+            steps.append((Cart({"proj": "cart", "_no_datum_shift": True,
+                                **ell_d}), "inverse"))
     steps.extend(grid_steps_post)
     # 2. into the destination CRS
     if dp.get("proj") not in ("longlat", "latlong", "lonlat", "latlon"):
@@ -386,3 +416,242 @@ def _helmert_params(tw: tuple) -> dict:
     if len(tw) > 3:
         p["convention"] = "position_vector"
     return p
+
+
+# ---------------------------------------------------------------------------
+# EPSG transformation registry + per-coordinate operation dispatch
+# ---------------------------------------------------------------------------
+# The reference ranks CANDIDATE coordinate operations per CRS pair by
+# accuracy and area of use (iso19111/coordinateoperationfactory.cpp:
+# 853-950 filterAndSort) and picks, per coordinate, the first candidate
+# whose extent contains the point (src/4D_api.cpp:217-346
+# pj_get_suggested_operation, antimeridian-split extents :2023-2040,
+# grid-free fallback :436-530). The registry here is compiled from the
+# reference's published EPSG SQL by tools/epsg_xform_extract.py.
+
+_XFORM_IDX: dict | None = None
+
+# EPSG registry grid names -> the classic grid files shipped with the
+# reference tests (data/sql/grid_alternatives*.sql old_proj_grid_name)
+_EPSG_GRID_FILES = {
+    "conus.las": "conus",
+    "alaska.las": "alaska",
+    "NTv2_0.gsb": "ntv2_0.gsb",
+    "NTv1_0.gsb": "ntv1_can.dat",
+    "BETA2007.gsb": "BETA2007.gsb",
+    "MD.las": "MD",
+    "ntf_r93.gsb": "ntf_r93.gsb",
+}
+
+
+def _xform_index() -> dict:
+    global _XFORM_IDX
+    if _XFORM_IDX is None:
+        import gzip
+        import json
+        import os
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "epsg_xforms.json.gz")
+        idx: dict = {}
+        with gzip.open(path, "rt") as f:
+            for rec in json.load(f):
+                idx.setdefault((rec["src"], rec["dst"]), []).append(rec)
+        _XFORM_IDX = idx
+    return _XFORM_IDX
+
+
+def _bbox_area(bbox) -> float:
+    if bbox is None:
+        return 4.0 * 180.0 * 360.0  # unknown extent sorts as world-sized
+    w, s, e, n = bbox
+    if e < w:
+        e += 360.0  # antimeridian-crossing extent
+    return max(e - w, 0.0) * max(n - s, 0.0)
+
+
+def bbox_contains(bbox, lon_deg, lat_deg):
+    """Vectorized area-of-use test with antimeridian-split extents
+    (reference 4D_api.cpp:2023-2040: an extent with west > east is split
+    into [west, 180] + [-180, east])."""
+    import numpy as np
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    if bbox is None:
+        return np.ones(np.broadcast(lon, lat).shape, dtype=bool)
+    w, s, e, n = bbox
+    lat_in = (lat >= s) & (lat <= n)
+    if e < w:
+        lon_in = (lon >= w) | (lon <= e)
+    else:
+        lon_in = (lon >= w) & (lon <= e)
+    return lon_in & lat_in
+
+
+def transform_candidates(src_code: int, dst_code: int,
+                         pivot: int = 4326, limit: int = 24) -> list[dict]:
+    """Ranked candidate operations for a geodetic CRS pair: direct rows,
+    reversed rows (helmert/grid ops invert exactly), and two-leg
+    compositions through the WGS84 pivot (the reference's
+    createOperations intermediate-CRS path). Sort order mirrors
+    filterAndSort: accuracy ascending (unknown last), then LARGER area of
+    use first, then EPSG code for determinism. Each candidate dict:
+    {legs: [(rec, inverted), ...], acc, bbox, codes}."""
+    idx = _xform_index()
+
+    def one_way(s, d):
+        out = [(r, False) for r in idx.get((s, d), ())]
+        out += [(r, True) for r in idx.get((d, s), ())]
+        return out
+
+    def acc_of(r):
+        return r["acc"] if r["acc"] is not None else 1e9
+
+    cands = []
+    for r, inv in one_way(src_code, dst_code):
+        cands.append({"legs": [(r, inv)], "acc": acc_of(r),
+                      "bbox": r["bbox"], "codes": [r["code"]]})
+    if src_code != pivot and dst_code != pivot:
+        for r1, i1 in one_way(src_code, pivot):
+            for r2, i2 in one_way(pivot, dst_code):
+                b1, b2 = r1["bbox"], r2["bbox"]
+                bbox = b1 if b2 is None else b2 if b1 is None else (
+                    max(b1[0], b2[0]), max(b1[1], b2[1]),
+                    min(b1[2], b2[2]), min(b1[3], b2[3]))
+                if bbox is not None and (bbox[0] >= bbox[2]
+                                         or bbox[1] >= bbox[3]):
+                    continue  # disjoint areas of use
+                cands.append({"legs": [(r1, i1), (r2, i2)],
+                              "acc": acc_of(r1) + acc_of(r2),
+                              "bbox": bbox,
+                              "codes": [r1["code"], r2["code"]]})
+    cands.sort(key=lambda c: (c["acc"], -_bbox_area(c["bbox"]),
+                              tuple(c["codes"])))
+    return cands[:limit]
+
+
+def _geodetic_ell_params(code: int) -> dict:
+    """Ellipsoid-defining params of a geodetic EPSG CRS (for the cart
+    legs around a registry helmert)."""
+    p = parse_proj_params(epsg_to_proj(code))[0]
+    return {k: p[k] for k in ("ellps", "a", "b", "rf", "R", "datum")
+            if k in p}
+
+
+def _registry_leg_steps(rec: dict, inverted: bool,
+                        src_ell: dict, dst_ell: dict) -> list[tuple]:
+    """One registry row -> pipeline steps geodetic(src) -> geodetic(dst)."""
+    from .kernels.cartgeo import Cart
+    from .kernels.datum import Helmert
+    if rec["kind"] == "grid":
+        name = _EPSG_GRID_FILES.get(rec["grid"], rec["grid"])
+        op = create_operator({"proj": "hgridshift", "grids": name,
+                              "_no_datum_shift": True})
+        return [(op, "inverse" if inverted else "forward")]
+    hp = {"proj": "helmert", "x": rec["x"], "y": rec["y"], "z": rec["z"]}
+    if rec.get("convention"):
+        for k in ("rx", "ry", "rz", "s"):
+            hp[k] = rec.get(k, 0.0)
+        hp["convention"] = rec["convention"]
+    for k in ("dx", "dy", "dz", "drx", "dry", "drz", "ds", "t_epoch"):
+        if k in rec:
+            hp[k] = rec[k]
+    if "px" in rec:
+        hp["px"], hp["py"], hp["pz"] = rec["px"], rec["py"], rec["pz"]
+        op = create_operator({**hp, "proj": "molobadekas"})
+    else:
+        op = Helmert(hp)
+    return [
+        (Cart({"proj": "cart", "_no_datum_shift": True, **src_ell}),
+         "forward"),
+        (op, "inverse" if inverted else "forward"),
+        (Cart({"proj": "cart", "_no_datum_shift": True, **dst_ell}),
+         "inverse"),
+    ]
+
+
+def registry_datum_pipeline(src_code: int, dst_code: int,
+                            candidate: dict) -> Pipeline:
+    """Candidate -> runnable geodetic->geodetic Pipeline (radians io)."""
+    src_ell = _geodetic_ell_params(src_code)
+    dst_ell = _geodetic_ell_params(dst_code)
+    steps: list[tuple] = []
+    legs = candidate["legs"]
+    cur = src_ell
+    for i, (rec, inv) in enumerate(legs):
+        nxt = dst_ell if i == len(legs) - 1 else {"ellps": "WGS84"}
+        steps.extend(_registry_leg_steps(rec, inv, cur, nxt))
+        cur = nxt
+    if not steps:
+        steps.append((create_operator({"proj": "noop"}), "forward"))
+    return Pipeline(steps)
+
+
+class CrsToCrsDispatcher:
+    """Per-coordinate alternative-operation dispatch between two geodetic
+    EPSG CRS (the engine's pj_get_suggested_operation): candidates come
+    from the EPSG transformation registry ranked by accuracy/area; each
+    batch point routes through the FIRST candidate whose area of use
+    contains it; points outside every extent fall back to the
+    best-ranked candidate with a world/unknown extent, else the best
+    candidate overall (reference default-operation retry,
+    4D_api.cpp:436-530). Grid candidates whose files don't resolve are
+    dropped at construction (grid-free fallback)."""
+
+    def __init__(self, src: str, dst: str, limit: int = 24):
+        import numpy as np  # noqa: F401
+        self.src_code = int(str(src).upper().replace("EPSG:", ""))
+        self.dst_code = int(str(dst).upper().replace("EPSG:", ""))
+        self.candidates = []
+        for cand in transform_candidates(self.src_code, self.dst_code,
+                                         limit=limit):
+            try:
+                pipe = registry_datum_pipeline(self.src_code,
+                                               self.dst_code, cand)
+            except (KeyError, ValueError):
+                continue  # unresolvable grid / unsupported method: skip
+            self.candidates.append({**cand, "pipe": pipe})
+        if not self.candidates:
+            raise KeyError(f"no registry transformation for "
+                           f"EPSG:{self.src_code} -> EPSG:{self.dst_code}")
+        # fallback: best world/unknown-extent candidate, else rank 0
+        self.fallback = next(
+            (i for i, c in enumerate(self.candidates)
+             if c["bbox"] is None or _bbox_area(c["bbox"]) > 300 * 120),
+            0)
+
+    def select(self, lon_deg, lat_deg):
+        """Candidate index per point (first containing extent)."""
+        import numpy as np
+        lon = np.asarray(lon_deg, dtype=np.float64)
+        lat = np.asarray(lat_deg, dtype=np.float64)
+        out = np.full(np.broadcast(lon, lat).shape, -1, dtype=np.int64)
+        for i, c in enumerate(self.candidates):
+            m = (out < 0) & bbox_contains(c["bbox"], lon, lat)
+            out[m] = i
+        out[out < 0] = self.fallback
+        return out
+
+    def apply(self, direction, lon_deg, lat_deg, z=None, t=None):
+        """Geodetic degrees in -> geodetic degrees out, routed per point.
+        Returns (lon, lat, z, t, candidate_epsg_code)."""
+        import numpy as np
+        lon = np.asarray(lon_deg, dtype=np.float64)
+        lat = np.asarray(lat_deg, dtype=np.float64)
+        z = np.zeros_like(lon) if z is None else np.asarray(z, np.float64)
+        t = np.zeros_like(lon) if t is None else np.asarray(t, np.float64)
+        sel = self.select(lon, lat)
+        ox = np.empty_like(lon)
+        oy = np.empty_like(lat)
+        oz = np.empty_like(z)
+        code = np.empty(lon.shape, dtype=np.int64)
+        d2r = 3.141592653589793 / 180.0
+        for i in np.unique(sel):
+            m = sel == i
+            c = self.candidates[i]
+            gx, gy, gz, _ = c["pipe"].apply(direction, lon[m] * d2r,
+                                            lat[m] * d2r, z[m], t[m])
+            ox[m] = gx / d2r
+            oy[m] = gy / d2r
+            oz[m] = gz
+            code[m] = c["codes"][0]
+        return ox, oy, oz, t, code

@@ -2494,3 +2494,168 @@ UNION ALL
         return df.select("pid", "region",
                          F.col("_s.lon_out").alias("lon_out"),
                          F.col("_s.lat_out").alias("lat_out"))
+
+
+# ===========================================================================
+# EPSG registry-driven per-coordinate operation dispatch (r2 VERDICT item 4)
+# ===========================================================================
+# The ED50 -> WGS84 pair has ~30 regional EPSG transformations with
+# different Helmert parameters and areas of use. The engine ranks them by
+# accuracy/area (crs.transform_candidates, mirroring
+# coordinateoperationfactory.cpp:853-950) and routes EACH COORDINATE
+# through the first candidate whose extent contains it
+# (pj_get_suggested_operation, 4D_api.cpp:217-346). Spark-first: the
+# candidate table is DATA — a broadcast join + min(rnk) per point picks
+# the operation, the geodetic->geocentric + translation math is pure JVM
+# SQL. Output stops at shifted geocentric XYZ so the DuckDB oracle is
+# closed-form (no iterative cart inverse).
+
+def _ed50_candidate_rows():
+    """Every single-leg non-kinematic Helmert candidate encoded as an
+    affine geocentric map X' = A.X + t (A = scale*R for forward rows,
+    R^T/scale with t' = -A.t for reversed rows — helmert.cpp small-angle
+    matrix). 3-param rows have A = I, so one SQL shape covers all."""
+    import numpy as np
+
+    from .crs import transform_candidates
+    from .kernels.datum import ARCSEC_TO_RAD, _rot_matrix
+
+    rows = []
+    rnk = 0
+    for cand in transform_candidates(4230, 4326, limit=40):
+        if len(cand["legs"]) != 1:
+            continue
+        rec, inv = cand["legs"][0]
+        if rec["kind"] != "helmert" or "dx" in rec or "px" in rec:
+            continue
+        t = np.array([rec["x"], rec["y"], rec["z"]])
+        conv = rec.get("convention")
+        scale = 1.0 + rec.get("s", 0.0) * 1e-6
+        if conv:
+            r = _rot_matrix(rec["rx"] * ARCSEC_TO_RAD,
+                            rec["ry"] * ARCSEC_TO_RAD,
+                            rec["rz"] * ARCSEC_TO_RAD,
+                            exact=False,
+                            position_vector=conv == "position_vector")
+        else:
+            r = np.eye(3)
+        if inv:
+            # the Helmert kernel's inverse is R^T((X - t)/scale)
+            # (helmert.cpp reverse: transpose, not matrix inverse)
+            a = r.T / scale
+            t = -a @ t
+        else:
+            a = scale * r
+        w, s, e, n = rec["bbox"] if rec["bbox"] else (-180, -90, 180, 90)
+        rows.append((rnk, rec["code"], float(w), float(s), float(e),
+                     float(n), *[float(v) for v in a.reshape(-1)],
+                     float(t[0]), float(t[1]), float(t[2])))
+        rnk += 1
+    return rows
+
+
+_ED50_CANDS = _ed50_candidate_rows()
+# ED50 geodetic base: International 1924 (epsg_to_proj(4230) +datum=ED50)
+_ED50_A = 6378388.0
+_ED50_ES = 2.0 / 297.0 - (1.0 / 297.0) ** 2
+
+
+def _ed50_dispatch_sql() -> str:
+    vals = ",\n    ".join(
+        "(" + ", ".join([str(r[0]), str(r[1])]
+                        + [C(v) for v in r[2:]]) + ")"
+        for r in _ED50_CANDS)
+    fb = _ED50_CANDS[0]
+    return f"""
+WITH cand(rnk, code, w, s, e, n,
+          a11, a12, a13, a21, a22, a23, a31, a32, a33,
+          tx, ty, tz) AS (VALUES
+    {vals}
+),
+pts AS (
+  SELECT p_partkey AS pid,
+         -10.0 + CAST((p_partkey * 2654435761) % 4000 AS DOUBLE) / 100.0
+           AS lon,
+         36.0 + CAST((p_partkey * 2246822519) % 3400 AS DOUBLE) / 100.0
+           AS lat
+  FROM part
+),
+sel AS (
+  SELECT p.pid, p.lon, p.lat, MIN(c.rnk) AS rnk
+  FROM pts p JOIN cand c
+    ON p.lon >= c.w AND p.lon <= c.e AND p.lat >= c.s AND p.lat <= c.n
+  GROUP BY p.pid, p.lon, p.lat
+),
+routed AS (
+  SELECT p.pid, p.lon, p.lat,
+         COALESCE(s.rnk, {fb[0]}) AS rnk
+  FROM pts p LEFT JOIN sel s ON s.pid = p.pid
+),
+geoc AS (
+  SELECT r.pid, c.*,
+         {C(_ED50_A)} / sqrt(1.0 - {C(_ED50_ES)}
+             * sin(radians(r.lat)) * sin(radians(r.lat)))
+           * cos(radians(r.lat)) * cos(radians(r.lon)) AS xx,
+         {C(_ED50_A)} / sqrt(1.0 - {C(_ED50_ES)}
+             * sin(radians(r.lat)) * sin(radians(r.lat)))
+           * cos(radians(r.lat)) * sin(radians(r.lon)) AS yy,
+         {C(_ED50_A)} / sqrt(1.0 - {C(_ED50_ES)}
+             * sin(radians(r.lat)) * sin(radians(r.lat)))
+           * (1.0 - {C(_ED50_ES)}) * sin(radians(r.lat)) AS zz
+  FROM routed r JOIN cand c ON c.rnk = r.rnk
+)
+SELECT pid, code,
+       ROUND(a11 * xx + a12 * yy + a13 * zz + tx, 4) AS gx,
+       ROUND(a21 * xx + a22 * yy + a23 * zz + ty, 4) AS gy,
+       ROUND(a31 * xx + a32 * yy + a33 * zz + tz, 4) AS gz
+FROM geoc
+"""
+
+
+@q("ed50_regional_dispatch", _ed50_dispatch_sql())
+def q_ed50_regional_dispatch(spark, sf_dir):
+    """ED50 -> WGS84 with PER-COORDINATE operation dispatch over the EPSG
+    transformation registry: different regions of one DataFrame route
+    through DIFFERENT Helmert operations (not just different grids —
+    r2 VERDICT item 4). Candidates are broadcast data; selection is
+    min(rnk) over a bbox join; the transform is JVM-only column math.
+    tests/test_crs_dispatch.py asserts this declarative plan agrees with
+    the numpy CrsToCrsDispatcher (pj_get_suggested_operation analogue)."""
+    from pyspark.sql import functions as F
+
+    cand = spark.createDataFrame(
+        _ED50_CANDS, "rnk INT, code INT, w DOUBLE, s DOUBLE, e DOUBLE, "
+                     "n DOUBLE, a11 DOUBLE, a12 DOUBLE, a13 DOUBLE, "
+                     "a21 DOUBLE, a22 DOUBLE, a23 DOUBLE, a31 DOUBLE, "
+                     "a32 DOUBLE, a33 DOUBLE, "
+                     "tx DOUBLE, ty DOUBLE, tz DOUBLE")
+    pts = spark.table("part").select(
+        F.col("p_partkey").alias("pid"),
+        (F.lit(-10.0) + (F.col("p_partkey") * 2654435761) % 4000 / 100.0
+         ).alias("lon"),
+        (F.lit(36.0) + (F.col("p_partkey") * 2246822519) % 3400 / 100.0
+         ).alias("lat"))
+    sel = (pts.join(F.broadcast(cand),
+                    (F.col("lon") >= F.col("w")) & (F.col("lon") <= F.col("e"))
+                    & (F.col("lat") >= F.col("s"))
+                    & (F.col("lat") <= F.col("n")))
+              .groupBy("pid").agg(F.min("rnk").alias("rnk")))
+    routed = (pts.join(sel, on="pid", how="left")
+                 .fillna({"rnk": _ED50_CANDS[0][0]})
+                 .join(F.broadcast(cand), on="rnk"))
+    lat_r = F.radians("lat")
+    lon_r = F.radians("lon")
+    nn = F.lit(_ED50_A) / F.sqrt(
+        1.0 - F.lit(_ED50_ES) * F.sin(lat_r) * F.sin(lat_r))
+    xx = nn * F.cos(lat_r) * F.cos(lon_r)
+    yy = nn * F.cos(lat_r) * F.sin(lon_r)
+    zz = nn * (1.0 - F.lit(_ED50_ES)) * F.sin(lat_r)
+    c = F.col
+    return routed.select(
+        "pid", "code",
+        F.round(c("a11") * xx + c("a12") * yy + c("a13") * zz + c("tx"), 4)
+        .alias("gx"),
+        F.round(c("a21") * xx + c("a22") * yy + c("a23") * zz + c("ty"), 4)
+        .alias("gy"),
+        F.round(c("a31") * xx + c("a32") * yy + c("a33") * zz + c("tz"), 4)
+        .alias("gz"))

@@ -1,0 +1,151 @@
+"""EPSG transformation registry + per-coordinate operation dispatch
+(round-2 VERDICT items 4 and 9).
+
+The registry (proj_spark/data/epsg_xforms.json.gz, compiled by
+tools/epsg_xform_extract.py from the reference's published EPSG SQL)
+carries per-operation source/target CRS, Helmert/grid parameters,
+accuracy, and area-of-use bbox. crs.transform_candidates ranks them the
+way coordinateoperationfactory.cpp:853-950 does; CrsToCrsDispatcher
+routes each coordinate through the first candidate whose extent contains
+it (pj_get_suggested_operation, 4D_api.cpp:217-346, antimeridian-split
+extents :2023-2040).
+"""
+
+import numpy as np
+import pytest
+
+from proj_spark.crs import (CrsToCrsDispatcher, bbox_contains,
+                            registry_datum_pipeline, transform_candidates)
+
+D = np.pi / 180.0
+
+
+def test_ed50_candidates_ranked_by_accuracy_then_area():
+    cands = transform_candidates(4230, 4326)
+    accs = [c["acc"] for c in cands]
+    assert accs == sorted(accs)
+    assert len(cands) >= 10  # ~30 regional ED50->WGS84 variants exist
+
+
+def test_dispatch_routes_regions_through_different_operations():
+    d = CrsToCrsDispatcher("EPSG:4230", "EPSG:4326")
+    # Denmark/North-Sea vs Spain mainland: different EPSG operations
+    lon = np.array([6.0, -5.5])
+    lat = np.array([55.0, 40.0])
+    _, _, _, _, code = d.apply("forward", lon, lat)
+    assert code[0] != code[1]
+    # both are real EPSG ED50->WGS84 codes with those areas of use
+    sel = d.select(lon, lat)
+    for i, c in enumerate(sel):
+        assert bbox_contains(d.candidates[c]["bbox"],
+                             lon[i:i + 1], lat[i:i + 1]).all()
+
+
+def test_dispatch_shift_magnitude_sane():
+    # ED50 -> WGS84 is a ~100-200 m datum shift everywhere in Europe
+    d = CrsToCrsDispatcher("EPSG:4230", "EPSG:4326")
+    lon = np.array([6.0, -5.5, 12.0])
+    lat = np.array([55.0, 40.0, 45.0])
+    ox, oy, _, _, _ = d.apply("forward", lon, lat)
+    dist_m = np.hypot((ox - lon) * 111320 * np.cos(lat * D),
+                      (oy - lat) * 111320)
+    assert np.all((dist_m > 50) & (dist_m < 300))
+
+
+def test_dispatch_roundtrip():
+    d = CrsToCrsDispatcher("EPSG:4230", "EPSG:4326")
+    lon = np.array([6.0, -5.5])
+    lat = np.array([55.0, 40.0])
+    ox, oy, _, _, _ = d.apply("forward", lon, lat)
+    # inverse of the same candidates recovers the input (helmert exact)
+    sel = d.select(lon, lat)
+    for i in np.unique(sel):
+        m = sel == i
+        gx, gy, _, _ = d.candidates[i]["pipe"].apply(
+            "inverse", ox[m] * D, oy[m] * D,
+            np.zeros(m.sum()), np.zeros(m.sum()))
+        assert np.allclose(gx / D, lon[m], atol=1e-9)
+        assert np.allclose(gy / D, lat[m], atol=1e-9)
+
+
+def test_ggrs87_to_etrs89_uses_registry_pivot_path():
+    """Non-WGS84 pair composed through the pivot (VERDICT item 9): the
+    best candidate is EPSG:1272 (GGRS87->WGS84) + EPSG:1149 (ETRS89->
+    WGS84, reversed), and its numbers match applying the EPSG:1272
+    translations directly (1149 is a null shift)."""
+    cands = transform_candidates(4121, 4258)
+    assert cands, "registry path must exist"
+    best = cands[0]
+    assert [r["code"] for r, _ in best["legs"]] == [1272, 1149]
+    pipe = registry_datum_pipeline(4121, 4258, best)
+    gx, gy, _, _ = pipe.apply("forward", np.array([24.0 * D]),
+                              np.array([38.0 * D]), np.zeros(1),
+                              np.zeros(1))
+    # EPSG:1272: dx=-199.87 dy=74.79 dz=246.62 on GRS80; independent
+    # check through the engine's towgs84 emulation of the same numbers
+    import proj_spark
+    ref = proj_spark.create_crs_to_crs("EPSG:4121", "EPSG:4326")
+    rx, ry, _, _ = ref.apply("forward", np.array([24.0 * D]),
+                             np.array([38.0 * D]), np.zeros(1), np.zeros(1))
+    assert abs(gx[0] - rx[0]) / D * 111320 < 0.01
+    assert abs(gy[0] - ry[0]) / D * 111320 < 0.01
+
+
+def test_antimeridian_split_extent():
+    # EPSG:1243 NAD27->NAD83 (alaska grid): west=168.1 east=-129.99
+    bbox = (168.1, 48.0, -129.99, 75.0)
+    lon = np.array([170.0, -150.0, -100.0, 0.0])
+    lat = np.array([60.0, 60.0, 60.0, 60.0])
+    got = bbox_contains(bbox, lon, lat)
+    assert got.tolist() == [True, True, False, False]
+
+
+def test_spark_query_matches_numpy_dispatcher():
+    """The declarative broadcast-join plan in querylib's
+    ed50_regional_dispatch picks the same operation per point as the
+    numpy dispatcher restricted to the same (3-param) candidate table."""
+    from proj_spark.querylib import _ED50_CANDS
+
+    # replicate the query's point generator for a sample of pids
+    pids = np.arange(1, 400)
+    lon = -10.0 + (pids * 2654435761) % 4000 / 100.0
+    lat = 36.0 + (pids * 2246822519) % 3400 / 100.0
+    # query-side selection: min rnk whose bbox contains, else rank 0
+    want = np.full(len(pids), _ED50_CANDS[0][1])
+    chosen = np.full(len(pids), np.inf)
+    for rnk, code, w, s, e, n, *_ in _ED50_CANDS:
+        m = (lon >= w) & (lon <= e) & (lat >= s) & (lat <= n) & (rnk < chosen)
+        chosen[m] = rnk
+        want[m] = code
+    d = CrsToCrsDispatcher("EPSG:4230", "EPSG:4326")
+    query_codes = {r[1] for r in _ED50_CANDS}
+    sel = d.select(lon, lat)
+    got = np.array([d.candidates[i]["codes"][0] for i in sel])
+    # wherever the dispatcher picked a candidate the query table carries
+    # (all single-leg non-kinematic Helmerts), they must agree exactly
+    m = np.isin(got, list(query_codes))
+    assert m.mean() > 0.95
+    assert (got[m] == want[m]).all()
+
+
+def test_create_crs_to_crs_use_registry():
+    """use_registry=True consults the EPSG transformation tables for the
+    datum leg (VERDICT item 9): ED50->ETRS89 picks the best-ranked
+    registry candidate (regional accuracy ~1 m) instead of the legacy
+    world towgs84 triple; results differ by metres but agree to ~10 m
+    (both are genuine ED50 shifts), and grid-only candidates whose files
+    aren't shipped fall through to the next candidate."""
+    import proj_spark
+    reg = proj_spark.create_crs_to_crs("EPSG:4230", "EPSG:4258",
+                                       use_registry=True)
+    emu = proj_spark.create_crs_to_crs("EPSG:4230", "EPSG:4258")
+    lon = np.array([6.0 * D])
+    lat = np.array([52.0 * D])
+    z = np.zeros(1)
+    rx, ry, _, _ = reg.apply("forward", lon, lat, z, z)
+    ex, ey, _, _ = emu.apply("forward", lon, lat, z, z)
+    d_m = np.hypot((rx - ex) * 111320 * np.cos(lat), (ry - ey) * 111320) / D
+    assert 0.0 < d_m[0] < 20.0  # different operations, same ~100 m datum
+    # full shift magnitude sanity
+    s_m = np.hypot((rx - lon) * 111320 * np.cos(lat), (ry - lat) * 111320) / D
+    assert 50 < s_m[0] < 300
