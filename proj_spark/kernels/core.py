@@ -433,20 +433,39 @@ def clenshaw_real(coefs: np.ndarray, arg: np.ndarray) -> np.ndarray:
 
 def clenshaw_complex(coefs, sin_r, cos_r, sinh_i, cosh_i):
     """Complex Clenshaw summation (reference src/projections/tmerc.cpp:279-306
-    clenS): evaluates sum_k c_k sin(k*(argR + i*argI)); returns (Re, Im)."""
+    clenS): evaluates sum_k c_k sin(k*(argR + i*argI)); returns (Re, Im).
+
+    Hot path of the Krüger kernels: the recurrence runs with two scratch
+    buffers and in-place ufuncs — zero allocations per iteration — while
+    keeping the same mathematical expression (associativity of the
+    original  -h2 + r*h1 - i*i1 + c  is preserved as
+    ((r*h1 - h2) - i*i1) + c, which is IEEE-identical because
+    -a + b == b - a)."""
     r = 2.0 * cos_r * cosh_i
     i = -2.0 * sin_r * sinh_i
     hr1 = np.zeros_like(sin_r)
     hi1 = np.zeros_like(sin_r)
     hi = np.zeros_like(sin_r)
     hr = np.full_like(sin_r, coefs[-1])
+    t1 = np.empty_like(sin_r)
+    t2 = np.empty_like(sin_r)
     for c in coefs[-2::-1]:
         hr2 = hr1
         hi2 = hi1
         hr1 = hr
         hi1 = hi
-        hr = -hr2 + r * hr1 - i * hi1 + c
-        hi = -hi2 + i * hr1 + r * hi1
+        # new hr -> built in t1/hr2's storage; new hi -> hi2's storage
+        np.multiply(r, hr1, out=t1)
+        np.subtract(t1, hr2, out=t1)          # -hr2 + r*hr1
+        np.multiply(i, hi1, out=t2)
+        np.subtract(t1, t2, out=t1)           # ... - i*hi1
+        np.add(t1, c, out=hr2)                # ... + c  (reuses hr2's buf)
+        hr = hr2
+        np.multiply(i, hr1, out=t1)
+        np.subtract(t1, hi2, out=t1)          # -hi2 + i*hr1
+        np.multiply(r, hi1, out=t2)
+        np.add(t1, t2, out=hi2)               # ... + r*hi1 (reuses hi2)
+        hi = hi2
     rr = sin_r * cosh_i
     ri = cos_r * sinh_i
     return rr * hr - ri * hi, rr * hi + ri * hr

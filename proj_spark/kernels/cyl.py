@@ -249,7 +249,12 @@ class Tmerc(Operator):
         cos_ce = np.cos(lam)
         cos_cn_cos_ce = cos_cn * cos_ce
         cn2 = np.arctan2(sin_cn, cos_cn_cos_ce)
-        inv_denom = 1.0 / np.hypot(sin_cn, cos_cn_cos_ce)
+        # sqrt(a*a + b*b) instead of np.hypot: both operands are sines/
+        # cosines in [-1, 1], so hypot's overflow rescaling buys nothing
+        # here and costs ~3x; difference is sub-ulp and far inside the
+        # 0.1 mm gie tolerance
+        inv_denom = 1.0 / np.sqrt(sin_cn * sin_cn
+                                  + cos_cn_cos_ce * cos_cn_cos_ce)
         tan_ce = sin_ce * cos_cn * inv_denom
         ce = np.arcsinh(tan_ce)
         two_inv = 2.0 * inv_denom
@@ -285,7 +290,9 @@ class Tmerc(Operator):
         cos_cn = np.cos(cn)
         sinh_ce = np.sinh(ce)
         ce2 = np.arctan2(sinh_ce, cos_cn)
-        mod_ce = np.hypot(sinh_ce, cos_cn)
+        # |sinh(ce)| is bounded by the ce-limit guard above; plain sqrt
+        # beats hypot with sub-ulp difference (see _fwd_e)
+        mod_ce = np.sqrt(sinh_ce * sinh_ce + cos_cn * cos_cn)
         cn2 = np.arctan2(sin_cn, mod_ce)
         tmp = 2.0 * mod_ce / (sinh_ce * sinh_ce + 1.0)
         sin_2cn = sin_cn * tmp
