@@ -146,15 +146,26 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = False)
     n_pages = spark.table("documents").count()
     n_points = spark.table("lineitem").count()
 
-    timings = {}
+    # warm every query once (JIT, shuffle files, Python-UDF pool), then
+    # run SWEEPS full interleaved passes over the suite and report the
+    # per-query MEDIAN: the shared VM's deliverable capacity drifts on
+    # minute scales, so back-to-back sweeps + median beat a single shot
+    # (same estimator as BENCH/run_scaling.py's pair ratios)
+    sweeps_n = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "3"))
     for name in HEADLINE:
-        fn = querylib.QUERIES[name]
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT, shuffles)
-        t0 = time.perf_counter()
-        df2 = querylib.QUERIES[name](spark, sf_dir)
-        df2.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        querylib.QUERIES[name](spark, sf_dir).write.format(
+            "noop").mode("overwrite").save()
+    sweeps: list[dict] = []
+    for _ in range(sweeps_n):
+        t = {}
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            querylib.QUERIES[name](spark, sf_dir).write.format(
+                "noop").mode("overwrite").save()
+            t[name] = time.perf_counter() - t0
+        sweeps.append(t)
+    timings = {name: round(sorted(s[name] for s in sweeps)[sweeps_n // 2], 4)
+               for name in HEADLINE}
 
     total = round(sum(timings.values()), 4)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
@@ -167,6 +178,7 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = False)
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sweeps": [{k: round(v, 4) for k, v in s.items()} for s in sweeps],
         "sf": sf,
         "docs_per_sec_extract_tile": round(n_pages / timings["extract_tile_counts"]),
         "points_per_sec_transform_avg": pts_per_sec,

@@ -828,6 +828,14 @@ def parse_gtiff(data: bytes, name: str = "gtiff"):
             kind = "hm"
             ie_m = descs.index("easting_offset")
             in_m = descs.index("northing_offset")
+        elif ("x_translation" in descs and "y_translation" in descs
+              and "z_translation" in descs):
+            # geocentric-translation grid for xyzgridshift
+            # (xyzgridshift.cpp:80-95): raw metre bands
+            kind = "xyzt"
+            ix_t = descs.index("x_translation")
+            iy_t = descs.index("y_translation")
+            iz_t = descs.index("z_translation")
         elif "east_offset" in descs and "north_offset" in descs:
             # deformation-model displacement grid (defmodel.cpp:76-141
             # checkHorizontal: east_offset/north_offset[/vertical_offset]
@@ -870,6 +878,12 @@ def parse_gtiff(data: bytes, name: str = "gtiff"):
             g.offset_unit = "metre"
             g.const_xy = (float(item(ie_m, "constant_offset", 0.0) or 0.0),
                           float(item(in_m, "constant_offset", 0.0) or 0.0))
+        elif kind == "xyzt":
+            g = FileGrid(name, west, south, hres, abs(vres), w, h,
+                         dlon_as=raster[:, :, ix_t],
+                         dlat_as=raster[:, :, iy_t],
+                         dz_m=raster[:, :, iz_t])
+            g.geocentric_translation = True
         elif kind == "defm":
             g = FileGrid(name, west, south, hres, abs(vres), w, h,
                          dlon_as=raster[:, :, ie_d],
