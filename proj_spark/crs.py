@@ -98,7 +98,8 @@ def parse_proj_params(s: str) -> list[dict]:
 
 
 _WKT_ROOTS = ("GEOGCRS", "GEODCRS", "GEOGCS", "GEODETICCRS", "PROJCRS",
-              "PROJCS", "PROJECTEDCRS", "BOUNDCRS")
+              "PROJCS", "PROJECTEDCRS", "BOUNDCRS", "COMPD_CS",
+              "COMPOUNDCRS")
 
 
 def normalize_crs_def(defn: str) -> str:
@@ -113,7 +114,7 @@ def normalize_crs_def(defn: str) -> str:
     if head in _WKT_ROOTS:
         from .wktio import from_wkt
         return from_wkt(s)
-    # other WKT roots (COMPD_CS, GEOCCS, VERTCRS, ENGCRS, ...) must fail
+    # remaining WKT roots (GEOCCS, VERTCRS, ENGCRS, ...) must fail
     # cleanly as unsupported-CRS, not fall through to the proj-string
     # parser (reference io.cpp createFromUserInput raises ParsingException)
     if head and re.fullmatch(r"[A-Z_][A-Z0-9_]*", head) and ("[" in s or "(" in s):

@@ -25,6 +25,8 @@ def resolve_data_file(name: str) -> str:
     path = _REGISTERED_PATHS.get(name)
     if path is not None and os.path.isfile(path):
         return path
+    if os.path.isabs(name) and os.path.isfile(name):
+        return name  # explicit absolute path wins over the search path
     base = os.path.basename(name)
     for d in grid_search_path():
         for cand in (os.path.join(d, name), os.path.join(d, base)):

@@ -111,6 +111,21 @@ _WKT1_PROJECTIONS = {
     "sinusoidal": "sinu", "orthographic": "ortho", "polyconic": "poly",
     "newzealandmapgrid": "nzmg", "gnomonic": "gnom",
     "millercylindrical": "mill", "vandergrinten": "vandg",
+    # ESRI WKT1 dialect method names (io.cpp esriToWkt2 mappings)
+    "mercatorauxiliarysphere": "webmerc",
+    "gausskruger": "tmerc",
+    "platecarree": "eqc",
+    "equidistantconic": "eqdc",
+    "winkeltripel": "wintri",
+    "eckertiv": "eck4", "eckertvi": "eck6",
+    "gallstereographic": "gall",
+    "bonne": "bonne",
+    "twopointequidistant": "tpeqd",
+    "cylindricalequalarea": "cea",
+    "lambertazimuthalequalarea": "laea",
+    "aitoff": "aitoff", "hammeraitoff": "hammer",
+    "quarticauthalic": "qua_aut",
+    "loximuthal": "loxim", "craster": "crast",
 }
 
 # WKT1 parameter names -> canonical proj param (method-independent)
@@ -578,6 +593,14 @@ def _wkt_node_to_params(node: _Node) -> dict:
         else:  # WKT1: PROJECTION + PARAMETERs directly under PROJCS,
             # false easting/northing expressed in the PROJCS UNIT
             _proj_params_from_conversion(node, p, default_len=cs_fac)
+        # WKT1/ESRI Mercator carries the true-scale latitude as
+        # "Standard_Parallel_1" (io.cpp Mercator_2SP handling); the proj
+        # merc operator reads +lat_ts
+        if p.get("proj") in ("merc", "webmerc") and "lat_1" in p:
+            p["lat_ts"] = p.pop("lat_1")
+        # ESRI webmerc: Auxiliary_Sphere_Type 0 is the spherical-formula
+        # web mercator; the marker parameter itself is not a proj param
+        p.pop("auxiliary_sphere_type", None)
         if abs(cs_fac - 1.0) > 1e-12:
             for k, (nm, f) in _LENGTH_UNITS.items():
                 if abs(f - cs_fac) < 1e-9:
@@ -617,6 +640,24 @@ def _wkt_node_to_params(node: _Node) -> dict:
                     ppm = vals[8611]
                 tw += [vals[8608], vals[8609], vals[8610], ppm]
             p["towgs84"] = ",".join(_num(round(v, 10)) for v in tw)
+        return p
+    if kw in ("COMPD_CS", "COMPOUNDCRS"):
+        # compound horizontal+vertical: take the horizontal member; a
+        # non-metre vertical UNIT becomes +vto_meter (io.cpp
+        # CompoundCRS::create path, vertical handled as units only)
+        members = [v for v in node.vals if isinstance(v, _Node)]
+        horiz = next((m for m in members if m.kw.upper() in
+                      ("PROJCRS", "PROJCS", "PROJECTEDCRS", "GEOGCRS",
+                       "GEOGCS", "GEODCRS", "BOUNDCRS")), None)
+        if horiz is None:
+            raise ValueError("compound CRS without a horizontal member")
+        p = _wkt_node_to_params(horiz)
+        vert = next((m for m in members if m.kw.upper() in
+                     ("VERT_CS", "VERTCRS", "VERTICALCRS")), None)
+        if vert is not None:
+            u = vert.child("LENGTHUNIT", "UNIT")
+            if u is not None and u.nums() and abs(u.nums()[0] - 1.0) > 1e-12:
+                p["vto_meter"] = u.nums()[0]
         return p
     raise ValueError(f"unsupported WKT root {node.kw!r}")
 

@@ -194,3 +194,69 @@ def test_wkt_parse_tolerates_id_usage_noise():
            'AREA["World."],BBOX[-90,-180,90,180]],ID["EPSG",4326]]')
     p = wktio.from_wkt(wkt)
     assert "+proj=longlat" in p and "+ellps=WGS84" in p
+
+
+# --- ESRI WKT1 dialect + compound CRS (round-3: SURVEY §2 "WKT breadth") ---
+
+_ESRI_WEBMERC = (
+    'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Mercator_Auxiliary_Sphere"],'
+    'PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",0.0],PARAMETER["Standard_Parallel_1",0.0],'
+    'PARAMETER["Auxiliary_Sphere_Type",0.0],UNIT["Meter",1.0]]')
+
+_ESRI_UTM = (
+    'PROJCS["WGS_1984_UTM_Zone_32N",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",500000.0],'
+    'PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",9.0],'
+    'PARAMETER["Scale_Factor",0.9996],PARAMETER["Latitude_Of_Origin",0.0],'
+    'UNIT["Meter",1.0]]')
+
+_COMPD = (
+    'COMPD_CS["OSGB + ODN",PROJCS["British National Grid",'
+    'GEOGCS["OSGB 1936",DATUM["OSGB_1936",'
+    'SPHEROID["Airy 1830",6377563.396,299.3249646]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-2],'
+    'PARAMETER["scale_factor",0.9996012717],'
+    'PARAMETER["false_easting",400000],PARAMETER["false_northing",-100000],'
+    'UNIT["metre",1]],VERT_CS["ODN height",'
+    'VERT_DATUM["Ordnance Datum Newlyn",2005],UNIT["metre",1]]]')
+
+
+def test_esri_webmerc_parses_and_projects():
+    """ESRI's Mercator_Auxiliary_Sphere is spherical web mercator
+    (io.cpp ESRI method mapping); Standard_Parallel_1 maps to lat_ts and
+    the Auxiliary_Sphere_Type marker parameter is dropped."""
+    import proj_spark
+    s = wktio.from_wkt(_ESRI_WEBMERC)
+    assert s.startswith("+proj=webmerc")
+    op = proj_spark.create(_ESRI_WEBMERC)
+    x, y, _, _ = op.fwd(np.radians([12.0]), np.radians([55.0]))
+    assert abs(x[0] - 1335833.8895) < 1e-3
+    assert abs(y[0] - 7361866.1131) < 1e-3
+
+
+def test_esri_utm_matches_plain_utm():
+    import proj_spark
+    esri = proj_spark.create(_ESRI_UTM)
+    plain = proj_spark.create("+proj=utm +zone=32 +ellps=WGS84")
+    lam = np.radians([9.5, 7.0])
+    phi = np.radians([55.0, 48.0])
+    xe, ye, _, _ = esri.fwd(lam, phi)
+    xp, yp, _, _ = plain.fwd(lam, phi)
+    assert np.allclose(xe, xp, atol=1e-6) and np.allclose(ye, yp, atol=1e-6)
+
+
+def test_compound_crs_takes_horizontal_member():
+    import proj_spark
+    s = wktio.from_wkt(_COMPD)
+    assert s.startswith("+proj=tmerc")
+    op = proj_spark.create(_COMPD)
+    x, y, _, _ = op.fwd(np.radians([-2.0]), np.radians([53.0]))
+    assert abs(x[0] - 400000.0) < 1e-6  # central meridian
+    assert 340000 < y[0] < 350000
