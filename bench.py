@@ -39,6 +39,7 @@ HEADLINE = [
     "geod_triangle_area",
     "factors_merc",
     "events_hourly",
+    "ed50_regional_dispatch",   # registry dispatch: broadcast bbox join
 ]
 
 

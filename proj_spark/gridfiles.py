@@ -486,6 +486,8 @@ def load_grid_file(name: str):
     if name in _FILE_GRID_CACHE:
         return _FILE_GRID_CACHE[name]
     path = _REGISTERED_PATHS.get(name)
+    if path is None and os.path.isabs(name) and os.path.isfile(name):
+        path = name  # explicit absolute path wins over the search path
     if path is None:
         base = os.path.basename(name)
         for d in grid_search_path():

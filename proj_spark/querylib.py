@@ -2760,3 +2760,119 @@ def q_tinshift_kkj_fwd(spark, sf_dir):
     return df.select("pid",
                      F.round(F.col("_s.x_out"), 4).alias("x_out"),
                      F.round(F.col("_s.y_out"), 4).alias("y_out"))
+
+
+# ===========================================================================
+# Real-file defmodel (vertical deformation master JSON + GTX component grid)
+# ===========================================================================
+# Structure mirrors the reference's data/tests/simple_model_metre_vertical
+# fixture family (deformation_model.schema.json): a master JSON with one
+# vertical component whose spatial model is a grid file. Self-contained:
+# the master file and a 2x2 GTX grid with dyadic (float32-exact) corner
+# values are written to temp files at query time, so what executes is the
+# REAL +model= JSON loader + grid-file reader (kernels/jsonfiles.py,
+# gridfiles.parse_gtx), not the embedded registry.
+_DEFM_CORNERS = [[1.5, 2.25], [3.125, 4.0625]]  # [row(south->north)][col]
+
+
+def _defm_files():
+    import os
+    import struct
+    import tempfile
+
+    gtx = os.path.join(tempfile.gettempdir(), "proj_spark_defm_grid.gtx")
+    if not os.path.exists(gtx):
+        vals = [v for row in _DEFM_CORNERS for v in row]
+        with open(gtx, "wb") as f:
+            # GTX: south, west, dlat, dlon (f8 BE), rows, cols (i4 BE),
+            # float32 node values row-major from the south row
+            f.write(struct.pack(">4d2i", 0.0, 0.0, 10.0, 10.0, 2, 2))
+            f.write(struct.pack(f">{len(vals)}f", *vals))
+    model = os.path.join(tempfile.gettempdir(), "proj_spark_defm.json")
+    if not os.path.exists(model):
+        import json as _json
+        with open(model, "w") as f:
+            _json.dump({
+                "file_type": "deformation_model_master_file",
+                "format_version": "1.0",
+                "name": "synthetic vertical model (driver query)",
+                "version": "1", "definition_crs": "EPSG:4326",
+                "source_crs": "EPSG:4326", "target_crs": "EPSG:4326",
+                "horizontal_offset_unit": "metre",
+                "vertical_offset_unit": "metre",
+                "horizontal_offset_method": "addition",
+                "extent": {"type": "bbox",
+                           "parameters": {"bbox": [0, 0, 10, 10]}},
+                "time_extent": {"first": "1900-01-01T00:00:00Z",
+                                "last": "2050-01-01T00:00:00Z"},
+                "components": [{
+                    "description": "vertical",
+                    "displacement_type": "vertical",
+                    "uncertainty_type": "none",
+                    "extent": {"type": "bbox",
+                               "parameters": {"bbox": [0, 0, 10, 10]}},
+                    "spatial_model": {"type": "GeoTIFF",
+                                      "interpolation_method": "bilinear",
+                                      "filename": gtx},
+                    "time_function": {
+                        "type": "step",
+                        "parameters": {
+                            "step_epoch": "1900-01-01T00:00:00Z"}},
+                }],
+            }, f)
+    return model
+
+
+_DEFM_PTS_CTE = """
+defm_pts AS (
+  SELECT p_partkey AS pid,
+         0.5 + CAST((p_partkey * 2654435761) % 900 AS DOUBLE) / 100.0
+           AS lon,
+         0.5 + CAST((p_partkey * 2246822519) % 900 AS DOUBLE) / 100.0
+           AS lat
+  FROM part
+)"""
+
+
+def _defm_oracle() -> str:
+    (v00, v10), (v01, v11) = _DEFM_CORNERS  # row0=south: v00 SW, v10 SE
+    return f"""
+WITH {_DEFM_PTS_CTE},
+frac AS (
+  SELECT pid, lon, lat,
+         radians(lon) / radians(10.0) AS fx,
+         radians(lat) / radians(10.0) AS fy
+  FROM defm_pts
+)
+SELECT pid,
+       ROUND({C(v00)} * (1.0 - fx) * (1.0 - fy)
+             + {C(v01)} * (1.0 - fx) * fy
+             + {C(v10)} * fx * (1.0 - fy)
+             + {C(v11)} * fx * fy, 6) AS dz
+FROM frac
+"""
+
+
+@q("defmodel_vertical_fwd", _defm_oracle())
+def q_defmodel_vertical_fwd(spark, sf_dir):
+    """Deformation-model REAL-FILE path on the driver gate: +model= loads
+    a master JSON (vertical component, step time function, bilinear
+    interpolation) whose spatial model is a GTX grid file — the same
+    loader that runs the reference's simple_model_* fixtures
+    (defmodel_impl.hpp:822-1218). Oracle replays the 2x2 bilinear in
+    closed-form SQL (same radians-domain fraction arithmetic)."""
+    from pyspark.sql import functions as F
+
+    op = create(f"+proj=defmodel +model={_defm_files()}")
+    df = _sql_points(spark, _DEFM_PTS_CTE, "defm_pts")
+
+    @F.pandas_udf("double")
+    def dz_of(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lo = np.radians(lon.to_numpy(np.float64))
+        la = np.radians(lat.to_numpy(np.float64))
+        z = np.zeros_like(lo)
+        t = np.full_like(lo, 2020.0)
+        _, _, zz, _ = op.apply("forward", lo, la, z, t)
+        return pd.Series(zz)
+
+    return df.select("pid", F.round(dz_of("lon", "lat"), 6).alias("dz"))

@@ -147,3 +147,38 @@ class TestSparkJoins:
         want = (pd.DataFrame(want_rows, columns=["qid", "rank", "pid", "dist_sq"])
                 .sort_values(["qid", "rank"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_knn_ring_escalation_sparse_exact(self, spark):
+        """Sparse point set forces round-1 certification failure for
+        far-away queries; the adaptive ring expansion (data-driven radius,
+        r3 bound on the old brute-force tail) must still return the EXACT
+        top-k; queries no ring can certify fall to the observed residue
+        brute force."""
+        import numpy as np
+        import pandas as pd
+        from proj_spark import joins
+
+        rng = np.random.default_rng(7)
+        px = np.concatenate([rng.integers(0, 10_000, 40),
+                             rng.integers(5_000_000, 5_010_000, 40)])
+        py = np.concatenate([rng.integers(0, 10_000, 40),
+                             rng.integers(5_000_000, 5_010_000, 40)])
+        pts = spark.createDataFrame(
+            pd.DataFrame({"pid": np.arange(80), "px": px, "py": py}))
+        qx = np.array([5_000, 2_500_000, 5_005_000, 9_000_000])
+        qy = np.array([5_000, 2_500_000, 5_005_000, 9_000_000])
+        qs = spark.createDataFrame(
+            pd.DataFrame({"qid": np.arange(4), "qx": qx, "qy": qy}))
+        got = (joins.knn_join(spark, qs, pts, k=3).toPandas()
+               .sort_values(["qid", "rank"]).reset_index(drop=True))
+        want_rows = []
+        for qi in range(4):
+            d = (px.astype(np.int64) - qx[qi]) ** 2 \
+                + (py.astype(np.int64) - qy[qi]) ** 2
+            order = np.lexsort((np.arange(80), d))[:3]
+            for rank, i in enumerate(order, 1):
+                want_rows.append((qi, rank, int(i), int(d[i])))
+        want = (pd.DataFrame(want_rows,
+                             columns=["qid", "rank", "pid", "dist_sq"])
+                .sort_values(["qid", "rank"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
