@@ -2876,3 +2876,69 @@ def q_defmodel_vertical_fwd(spark, sf_dir):
         return pd.Series(zz)
 
     return df.select("pid", F.round(dz_of("lon", "lat"), 6).alias("dz"))
+
+
+# ===========================================================================
+# Web-corpus pipeline ops: substring dedup, URL stats, stratified sampling
+# ===========================================================================
+
+@q("substring_dup_spans", textops.substring_dup_sql("duck"))
+def q_substring_dup_spans(spark, sf_dir):
+    """Substring-level duplication (RefinedWeb-style span dedup): the
+    fraction of each doc's word-8-gram spans that appear in another
+    document — catches partial copies that doc-level MinHash misses.
+    Spans are built map-side from the split array; span df and the
+    per-doc rollup are two hash aggregations with map-side combine."""
+    return spark.sql(textops.substring_dup_sql("spark"))
+
+
+_URL_STATS_SQL = f"""
+WITH {{pages}},
+parsed AS (
+  SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+         regexp_extract(url, 'https?://[^/]+/([^/]+)/', 1) AS top_dir,
+         length(text) AS n_chars
+  FROM pages
+)
+SELECT host, top_dir,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM parsed
+GROUP BY host, top_dir
+"""
+
+
+@q("url_host_stats", _URL_STATS_SQL.format(pages=PAGES_CTE))
+def q_url_host_stats(spark, sf_dir):
+    """Per-(host, top path segment) corpus stats over the Common-Crawl-
+    style pages table: URL parsing is a pure regexp projection (JVM
+    codegen), the rollup one hash aggregation — the crawl-curation
+    primitive behind per-host quality decisions (robots blocklists,
+    host-level dedup/quotas) at 10^12-doc scale."""
+    return spark.sql(_URL_STATS_SQL.format(pages=PAGES_CTE))
+
+
+_STRAT_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 40
+"""
+
+
+@q("stratified_sample", _STRAT_SQL)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: an exact per-language quota
+    (40 docs) selected by a hash order — the training-data mixture
+    primitive (language/source rebalancing). This exact-quota form sorts
+    within each stratum (one shuffle, skew-prone for giant strata); the
+    100 TB path replaces the window with a broadcast per-stratum hash
+    THRESHOLD estimated from counts (approxQuantile of the hash), which
+    needs no per-stratum ordering — same sample in expectation, no exact
+    quota. Quota form kept here for the value-level oracle."""
+    return spark.sql(_STRAT_SQL)

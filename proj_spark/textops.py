@@ -353,3 +353,55 @@ SELECT doc_id,
        CAST({bpe} AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
+
+
+# --- substring-level duplication (RefinedWeb/"dedup training data" style) ---
+
+def substring_dup_sql(dialect: str, n: int = 8) -> str:
+    """Per-document substring contamination: the fraction of a doc's
+    word-``n``-gram spans that also appear in ANOTHER document — the
+    span-level signal used to strip boilerplate/copied passages from
+    training corpora (doc-level MinHash misses partial copies).
+
+    Same inverted-index shape as the other dedup ops: span df is a
+    hash aggregation with map-side partial combine (one shuffle keyed by
+    span), the per-doc rollup a second. Spark builds spans MAP-SIDE from
+    the split array (zero shuffles before the agg); the DuckDB oracle
+    uses list functions — same rows, different plan."""
+    if dialect == "spark":
+        spans_cte = f"""
+spans AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id, split(text, ' ') AS ws FROM dup_docs)
+  LATERAL VIEW explode(
+    CASE WHEN size(ws) >= {n}
+         THEN transform(sequence(1, size(ws) - {n - 1}),
+                        i -> concat_ws(' ', slice(ws, i, {n})))
+         ELSE array() END) t AS sh
+)"""
+    else:
+        spans_cte = f"""
+spans AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM dup_docs),
+  LATERAL UNNEST(
+    CASE WHEN len(ws) >= {n}
+         THEN list_transform(generate_series(1, len(ws) - {n - 1}),
+                             i -> array_to_string(
+                                 list_slice(ws, i, i + {n - 1}), ' '))
+         ELSE [] END) AS t(sh)
+)"""
+    return f"""
+WITH {DUP_DOCS_CTE}, {spans_cte},
+span_df AS (
+  SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY sh
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       ROUND(CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS shared_frac
+FROM spans s JOIN span_df d ON d.sh = s.sh
+GROUP BY s.doc_id
+"""
