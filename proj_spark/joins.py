@@ -114,11 +114,16 @@ def knn_join(spark, queries: DataFrame, points: DataFrame, k: int = 5,
     dist = ((F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
             + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy")))
     w = Window.partitionBy("qid").orderBy("dist_sq", "pid")
+    # persisted: <= k rows per query (output-sized), and the subtree above
+    # it — the big cell join + per-query window — feeds FOUR consumers
+    # (ok, stats -> esc, certified_any, bad_q); without the persist Spark
+    # recomputes that join once per consumer.
     cand = (pts.join(F.broadcast(q), on=["cell_x", "cell_y"])
                .select("qid", "qx", "qy", "qcx", "qcy", "pid",
                        dist.alias("dist_sq"))
                .withColumn("rank", F.row_number().over(w))
-               .filter(F.col("rank") <= k))
+               .filter(F.col("rank") <= k)
+               .persist())
 
     # certification: k-th distance must not exceed the squared distance from
     # the query point to the 3x3 block boundary (beyond which unseen points
@@ -165,7 +170,8 @@ def knn_join(spark, queries: DataFrame, points: DataFrame, k: int = 5,
                 .select("qid", "qx", "qy", "qcx", "qcy", "R", "pid",
                         dist.alias("dist_sq"))
                 .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k))
+                .filter(F.col("rank") <= k)
+                .persist())
     gx2 = F.least(F.col("qx") - (F.col("qcx") - F.col("R")) * F.lit(cell_i),
                   (F.col("qcx") + F.col("R") + 1) * F.lit(cell_i)
                   - F.col("qx"))

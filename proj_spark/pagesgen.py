@@ -35,17 +35,14 @@ def _fixed(int_expr: str, alias: str) -> str:
             f"lpad('' || ({a} % 100000), 5, '0')) AS {alias}")
 
 
-PAGES_CTE = f"""
-page_coords AS (
-  SELECT doc_id, text AS body, lang,
+_PAGE_COORDS_SELECT = f"""SELECT doc_id, text AS body, lang,
          {_fixed(_LAT_I, 'ulat')},
          {_fixed(_LON_I, 'ulon')},
          {_fixed(_CLAT_I, 'clat')},
          {_fixed(_CLON_I, 'clon')}
-  FROM documents
-),
-pages AS (
-  SELECT doc_id,
+  FROM documents"""
+
+_PAGES_SELECT = """SELECT doc_id,
          'https://crawl.example/' || lang || '/' || doc_id AS url,
          CAST(1704067200 + (doc_id * 997) % 31536000 AS BIGINT) AS warc_epoch,
          body || (CASE
@@ -55,36 +52,47 @@ pages AS (
            WHEN doc_id % 10 = 6 THEN ' location: ' || ulat || ', ' || ulon
            ELSE '' END) AS text,
          lang
-  FROM page_coords
+  FROM {src}"""
+
+PAGES_CTE = f"""
+page_coords AS (
+  {_PAGE_COORDS_SELECT}
+),
+pages AS (
+  {_PAGES_SELECT.format(src='page_coords')}
 )
 """
 
 # extraction: LIKE pre-filter + regex group pull (reference analogue: the
 # scan-side coordinate extraction operator; regex kept backslash-free so the
 # same literal parses identically in Spark SQL and DuckDB).
+# Two-stage shape (pair string first, then lat/lon from the short pair):
+# the long-text regexes run ONCE per row instead of once per coordinate,
+# and because `pair` is a non-cheap expression referenced twice,
+# CollapseProject keeps the stages separate — the single fused projection
+# used to exceed janino's 64 KB method limit and silently disabled
+# whole-stage codegen for the flagship query's scan stage.
 # EXTRACT_BODY reads from whatever relation is named `pages` — the inline
 # synthesis CTE (EXTRACT_CTE) or a materialized pages table
 # (extract_from_table_cte).
 EXTRACT_BODY = """
+pair_match AS (
+  SELECT url, lang, warc_epoch,
+         CASE
+           WHEN text LIKE '%geo.position%'
+             THEN regexp_extract(text, 'geo[.]position" content="(-?[0-9.]+;-?[0-9.]+)"', 1)
+           WHEN text LIKE '%ICBM%'
+             THEN regexp_extract(text, 'ICBM" content="(-?[0-9.]+, -?[0-9.]+)"', 1)
+           WHEN text LIKE '%location: %'
+             THEN regexp_extract(text, 'location: (-?[0-9.]+, -?[0-9.]+)', 1)
+           END AS pair
+  FROM pages
+),
 extracted AS (
   SELECT url, lang, warc_epoch,
-         CAST(CASE
-           WHEN text LIKE '%geo.position%'
-             THEN regexp_extract(text, 'geo[.]position" content="(-?[0-9.]+);(-?[0-9.]+)"', 1)
-           WHEN text LIKE '%ICBM%'
-             THEN regexp_extract(text, 'ICBM" content="(-?[0-9.]+), (-?[0-9.]+)"', 1)
-           WHEN text LIKE '%location: %'
-             THEN regexp_extract(text, 'location: (-?[0-9.]+), (-?[0-9.]+)', 1)
-           END AS DOUBLE) AS lat,
-         CAST(CASE
-           WHEN text LIKE '%geo.position%'
-             THEN regexp_extract(text, 'geo[.]position" content="(-?[0-9.]+);(-?[0-9.]+)"', 2)
-           WHEN text LIKE '%ICBM%'
-             THEN regexp_extract(text, 'ICBM" content="(-?[0-9.]+), (-?[0-9.]+)"', 2)
-           WHEN text LIKE '%location: %'
-             THEN regexp_extract(text, 'location: (-?[0-9.]+), (-?[0-9.]+)', 2)
-           END AS DOUBLE) AS lon
-  FROM pages
+         CAST(regexp_extract(pair, '(-?[0-9]+[.][0-9]+)[;, ]+(-?[0-9]+[.][0-9]+)', 1) AS DOUBLE) AS lat,
+         CAST(regexp_extract(pair, '(-?[0-9]+[.][0-9]+)[;, ]+(-?[0-9]+[.][0-9]+)', 2) AS DOUBLE) AS lon
+  FROM pair_match
 )
 """
 
@@ -97,6 +105,33 @@ def extract_from_table_cte(pages_table: str) -> str:
     return f"pages AS (SELECT * FROM {pages_table})," + EXTRACT_BODY
 
 
+PAGES_VIEW = "pages_cached"
+PAGES_FROM_VIEW_CTE = f"pages AS (SELECT * FROM {PAGES_VIEW})"
+
+
+def ensure_pages_view(spark, sf_dir: str) -> str:
+    """Materialize the synthetic pages fixture behind a cache barrier and
+    return a `pages AS (...)` CTE reading from it.
+
+    A real corpus reads `pages` from storage; only this sandbox synthesizes
+    it inline. Fusing synthesis + extraction into one stage lets predicate
+    pushdown substitute the whole synthesis chain into the extraction
+    filter — a single expression past janino's 64 KB method limit, which
+    silently disables whole-stage codegen for the flagship scan stage. The
+    InMemoryRelation boundary keeps both sides small enough to compile,
+    exactly like the parquet boundary a production pages table has. The
+    DuckDB oracles keep the inline-synthesis SQL: same rows, one engine
+    plan closer to production."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _pages_cached:
+        _pages_cached[key] = build_pages(spark, sf_dir, flat=True).cache()
+    _pages_cached[key].createOrReplaceTempView(PAGES_VIEW)
+    return PAGES_FROM_VIEW_CTE
+
+
+_pages_cached: dict = {}
+
+
 def materialize_pages(spark, sf_dir: str, out_dir: str, scale: int = 1,
                       view_name: str = "pages_tbl"):
     """Write the pages fixture to parquet once (input generation is not
@@ -106,9 +141,15 @@ def materialize_pages(spark, sf_dir: str, out_dir: str, scale: int = 1,
     return spark.table(view_name)
 
 
-def build_pages(spark, sf_dir: str, scale: int = 1):
+def build_pages(spark, sf_dir: str, scale: int = 1, flat: bool = False):
     """Materialize the pages fixture as a DataFrame. ``scale`` > 1 replicates
-    documents with distinct doc_ids (bench-scale amplification)."""
+    documents with distinct doc_ids (bench-scale amplification).
+
+    ``flat=True`` builds the identical rows from nested flat subqueries
+    instead of the WITH form: a plan containing WithCTE/CTERelationDef
+    nodes never matches the cache manager's sameResult check once the
+    consuming query renumbers the CTE ids, so the cached fixture would
+    silently be re-synthesized per query (see ensure_pages_view)."""
     from .querylib import register_views
     register_views(spark, sf_dir)
     if scale > 1:
@@ -127,4 +168,6 @@ def build_pages(spark, sf_dir: str, scale: int = 1):
           FROM RANGE(0, {scale}, 1, {parts}) r
           JOIN parquet.`{sf_dir}/documents.parquet` d
         """)
+    if flat:
+        return spark.sql(_PAGES_SELECT.format(src=f"({_PAGE_COORDS_SELECT})"))
     return spark.sql(f"WITH {PAGES_CTE} SELECT * FROM pages")

@@ -584,43 +584,50 @@ def q_s2_cell_counts(spark, sf_dir):
 # Web-text / pages queries (documents, embeddings, events tables)
 # ===========================================================================
 
-from .pagesgen import EXTRACT_CTE, PAGES_CTE  # noqa: E402
+from . import pagesgen  # noqa: E402
+from .pagesgen import EXTRACT_BODY, EXTRACT_CTE, PAGES_CTE  # noqa: E402
 
 # --- coordinate extraction (regex scan operator; shared SQL text) ------------
+# Oracle strings synthesize pages inline (DuckDB has no cache barrier to
+# care about); the Spark functions read the same fixture through
+# pagesgen.ensure_pages_view — see its docstring for the codegen rationale.
 
-_EXTRACT_SQL = f"""
-WITH {EXTRACT_CTE}
+_EXTRACT_TAIL = """
 SELECT url, lat, lon
 FROM extracted
 WHERE lat IS NOT NULL
 """
 
+_EXTRACT_SQL = f"WITH {EXTRACT_CTE}{_EXTRACT_TAIL}"
+
 
 @q("extract_coords", _EXTRACT_SQL)
 def q_extract_coords(spark, sf_dir):
-    # same SQL text runs JVM-side in Spark: LIKE + regexp_extract are
-    # whole-stage-codegen expressions; no Python in the scan path
-    return spark.sql(_EXTRACT_SQL)
+    # same extraction SQL runs JVM-side in Spark: LIKE + regexp_extract
+    # are whole-stage-codegen expressions; no Python in the scan path
+    cte = pagesgen.ensure_pages_view(spark, sf_dir)
+    return spark.sql(f"WITH {cte},{EXTRACT_BODY}{_EXTRACT_TAIL}")
 
 
 # --- byte-identity invariant: hash of generated page text --------------------
 
-_TEXT_HASH_SQL = f"""
-WITH {PAGES_CTE}
+_TEXT_HASH_TAIL = """
 SELECT url, md5(text) AS text_md5
 FROM pages
 """
 
+_TEXT_HASH_SQL = f"WITH {PAGES_CTE}{_TEXT_HASH_TAIL}"
+
 
 @q("pages_text_hash", _TEXT_HASH_SQL)
 def q_pages_text_hash(spark, sf_dir):
-    return spark.sql(_TEXT_HASH_SQL)
+    cte = pagesgen.ensure_pages_view(spark, sf_dir)
+    return spark.sql(f"WITH {cte}{_TEXT_HASH_TAIL}")
 
 
 # --- flagship: extract -> domain-filter -> webmerc tile counts ---------------
 
-_E2E_TILE_SQL = f"""
-WITH {EXTRACT_CTE},
+_E2E_TILE_TAIL = """,
 good AS (
   SELECT url, lat, lon FROM extracted
   WHERE lat IS NOT NULL AND ABS(lat) <= 85.06 AND ABS(lon) <= 180.0
@@ -635,10 +642,13 @@ FROM tiles
 GROUP BY tx, ty
 """
 
+_E2E_TILE_SQL = f"WITH {EXTRACT_CTE}{_E2E_TILE_TAIL}"
+
 
 @q("extract_tile_counts", _E2E_TILE_SQL)
 def q_extract_tile_counts(spark, sf_dir):
-    return spark.sql(_E2E_TILE_SQL)
+    cte = pagesgen.ensure_pages_view(spark, sf_dir)
+    return spark.sql(f"WITH {cte},{EXTRACT_BODY}{_E2E_TILE_TAIL}")
 
 
 # --- exact dedup (hash-groupBy; first training-data op) ----------------------
@@ -2916,7 +2926,8 @@ def q_url_host_stats(spark, sf_dir):
     codegen), the rollup one hash aggregation — the crawl-curation
     primitive behind per-host quality decisions (robots blocklists,
     host-level dedup/quotas) at 10^12-doc scale."""
-    return spark.sql(_URL_STATS_SQL.format(pages=PAGES_CTE))
+    cte = pagesgen.ensure_pages_view(spark, sf_dir)
+    return spark.sql(_URL_STATS_SQL.format(pages=cte))
 
 
 _STRAT_SQL = """
