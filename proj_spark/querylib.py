@@ -2953,3 +2953,62 @@ def q_stratified_sample(spark, sf_dir):
     needs no per-stratum ordering — same sample in expectation, no exact
     quota. Quota form kept here for the value-level oracle."""
     return spark.sql(_STRAT_SQL)
+
+
+_DEDUP_CC_SQL = f"""
+WITH RECURSIVE {textops.DUP_DOCS_CTE},
+pairs AS (SELECT id1, id2 FROM ({textops.minhash_lsh_sql('duck')}) mh),
+cc_edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM dup_docs
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN cc_edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(root) AS component
+FROM reach
+GROUP BY node
+"""
+
+
+@q("dedup_components", _DEDUP_CC_SQL)
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster assignment: MinHash-LSH near-dup pairs are only
+    EDGES — picking one canonical doc per cluster needs the connected
+    components of the pair graph. Engine side runs the alternating
+    large-star/small-star algorithm (graph.py — O(log n) shuffle rounds,
+    no driver-side graph state); the oracle is DuckDB's recursive-CTE
+    transitive closure, a deliberately different algorithm producing the
+    same (doc_id, min-member-id) map. Isolated docs map to themselves."""
+    from pyspark.sql import functions as F
+
+    from . import graph
+
+    pairs = spark.sql(
+        f"SELECT id1, id2 FROM ({textops.minhash_lsh_sql('spark')})")
+    edges = pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+    nodes = spark.sql(
+        f"WITH {textops.DUP_DOCS_CTE} SELECT doc_id AS id FROM dup_docs")
+    return (graph.connected_components(nodes, edges)
+            .select(F.col("id").alias("doc_id"), "component"))
+
+
+@q("repetition_stats", textops.repetition_sql("duck"))
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals: type/token ratio,
+    top-word and top-bigram fractions, duplicate 5-word-block fraction —
+    the quality filters applied before any cross-doc dedup. All word
+    counting: map-side n-gram arrays, hash aggregations with map-side
+    combine, output-sized rollups."""
+    return spark.sql(textops.repetition_sql("spark"))
+
+
+@q("pii_stats", textops.pii_sql("duck"))
+def q_pii_stats(spark, sf_dir):
+    """PII detection + redaction over deterministically-injected
+    email/IP/phone strings: per-doc hit counts and the md5 of the fully
+    redacted text. One native-regex projection, zero shuffles."""
+    return spark.sql(textops.pii_sql("spark"))

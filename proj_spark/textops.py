@@ -355,6 +355,140 @@ FROM documents
 """
 
 
+# --- Gopher-style within-doc repetition signals ------------------------------
+
+def repetition_sql(dialect: str, block: int = 5) -> str:
+    """Per-document repetition quality signals (Gopher-style filters):
+    type/token ratio, top-word fraction, top-bigram fraction, and the
+    fraction of non-overlapping ``block``-word blocks that repeat WITHIN
+    the doc (the corpus has no newlines, so fixed word blocks stand in
+    for Gopher's duplicate-line fraction). Everything is word counting —
+    map-side n-gram construction plus per-(doc, gram) hash aggregations
+    with map-side combine; the per-doc rollups are output-sized."""
+    if dialect == "spark":
+        grams = f"""
+docs AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+words AS (SELECT doc_id, w FROM docs LATERAL VIEW explode(ws) t AS w),
+bigrams AS (
+  SELECT doc_id, bg FROM docs
+  LATERAL VIEW explode(
+    CASE WHEN size(ws) >= 2
+         THEN transform(sequence(0, size(ws) - 2),
+                        i -> concat_ws(' ', ws[i], ws[i + 1]))
+         ELSE array() END) t AS bg
+),
+blocks AS (
+  SELECT doc_id, bl FROM docs
+  LATERAL VIEW explode(
+    CASE WHEN size(ws) >= {block}
+         THEN transform(sequence(0, CAST(FLOOR(size(ws) / {block}.0) AS INT) - 1),
+                        i -> concat_ws(' ', slice(ws, i * {block} + 1, {block})))
+         ELSE array() END) t AS bl
+)"""
+    else:
+        grams = f"""
+docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+words AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+bigrams AS (
+  SELECT doc_id, bg
+  FROM docs, LATERAL UNNEST(
+    CASE WHEN len(ws) >= 2
+         THEN list_transform(generate_series(1, len(ws) - 1),
+                             i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+         ELSE [] END) AS t(bg)
+),
+blocks AS (
+  SELECT doc_id, bl
+  FROM docs, LATERAL UNNEST(
+    CASE WHEN len(ws) >= {block}
+         THEN list_transform(generate_series(0, CAST(FLOOR(len(ws) / {block}.0) AS INT) - 1),
+                             i -> array_to_string(
+                                 list_slice(ws, i * {block} + 1, i * {block} + {block}), ' '))
+         ELSE [] END) AS t(bl)
+)"""
+    return f"""
+WITH {grams},
+wcounts AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+uni AS (
+  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_types, MAX(c) AS top_w
+  FROM wcounts GROUP BY doc_id
+),
+bcounts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg),
+bi AS (SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_b FROM bcounts GROUP BY doc_id),
+kcounts AS (SELECT doc_id, bl, COUNT(*) AS c FROM blocks GROUP BY doc_id, bl),
+blk AS (
+  SELECT doc_id, SUM(c) AS n_blocks,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_blocks
+  FROM kcounts GROUP BY doc_id
+)
+SELECT u.doc_id,
+       CAST(u.n_words AS BIGINT) AS n_words,
+       ROUND(CAST(u.n_types AS DOUBLE) / u.n_words, 6) AS type_token_ratio,
+       ROUND(CAST(u.top_w AS DOUBLE) / u.n_words, 6) AS top_word_frac,
+       ROUND(CAST(b.top_b AS DOUBLE) / b.n_bi, 6) AS top_bigram_frac,
+       ROUND(CAST(COALESCE(k.dup_blocks, 0) AS DOUBLE)
+             / COALESCE(k.n_blocks, 1), 6) AS dup_block_frac
+FROM uni u
+LEFT JOIN bi b ON b.doc_id = u.doc_id
+LEFT JOIN blk k ON k.doc_id = u.doc_id
+"""
+
+
+# --- PII detection / redaction ------------------------------------------------
+
+# backslash-free patterns that parse identically in Java regex and RE2
+_PII_EMAIL = "[a-z0-9]+@[a-z0-9.]+"
+_PII_IPV4 = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+_PII_PHONE = "[+][0-9-]+"
+
+# deterministic PII injection (the corpus itself is PII-free): the same
+# integer-string synthesis trick as dup_docs/pages, byte-identical across
+# engines
+_PII_DOCS_CTE = """
+pii_docs AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 5 = 0
+             THEN ' contact user' || doc_id || '@mail.example for details'
+           WHEN doc_id % 5 = 1
+             THEN ' server 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                  || '.' || ((doc_id * 13) % 256) || ' responded'
+           WHEN doc_id % 5 = 2
+             THEN ' call +1-555-' || lpad('' || (doc_id % 10000), 4, '0') || ' now'
+           ELSE '' END AS text
+  FROM documents
+)
+"""
+
+
+def pii_sql(dialect: str) -> str:
+    """Per-doc PII hit counts + the md5 of the fully-redacted text — the
+    scrubbing pass every training corpus runs. Pure native regex in both
+    engines (JVM codegen in Spark; the redaction chain is 3 nested
+    regexp_replace calls, one projection, zero shuffles)."""
+    if dialect == "spark":
+        def count(p):
+            return f"regexp_count(text, '{p}')"
+        def redact(expr, p, tag):
+            return f"regexp_replace({expr}, '{p}', '{tag}')"
+    else:
+        def count(p):
+            return f"len(regexp_extract_all(text, '{p}'))"
+        def redact(expr, p, tag):
+            return f"regexp_replace({expr}, '{p}', '{tag}', 'g')"
+    redacted = redact(redact(redact("text", _PII_EMAIL, "<EMAIL>"),
+                             _PII_IPV4, "<IP>"), _PII_PHONE, "<PHONE>")
+    return f"""
+WITH {_PII_DOCS_CTE}
+SELECT doc_id,
+       CAST({count(_PII_EMAIL)} AS BIGINT) AS n_emails,
+       CAST({count(_PII_IPV4)} AS BIGINT) AS n_ips,
+       CAST({count(_PII_PHONE)} AS BIGINT) AS n_phones,
+       md5({redacted}) AS redacted_md5
+FROM pii_docs
+"""
+
+
 # --- substring-level duplication (RefinedWeb/"dedup training data" style) ---
 
 def substring_dup_sql(dialect: str, n: int = 8) -> str:
