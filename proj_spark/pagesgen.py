@@ -4,7 +4,8 @@ Spark SQL and DuckDB build *byte-identical* rows (the engine's
 byte-identical-text-per-url invariant, BASELINE.json input_hint, is asserted
 by hashing both sides' text).
 
-Schema (FIXTURES.md §1): url, warc_ts(epoch s), html(binary), text, lang.
+Schema (FIXTURES.md §1 == BASELINE.json input_hint, exactly): url string,
+warc_ts timestamp, html binary, text string, lang string.
 A deterministic mix of coordinate embeddings:
   - doc_id % 97 == 13      -> poison row (|lat| > 90, must NaN out downstream)
   - doc_id % 10 in (0,1,2) -> geo.position meta tag, clustered into 20
@@ -42,26 +43,62 @@ _PAGE_COORDS_SELECT = f"""SELECT doc_id, text AS body, lang,
          {_fixed(_CLON_I, 'clon')}
   FROM documents"""
 
-_PAGES_SELECT = """SELECT doc_id,
-         'https://crawl.example/' || lang || '/' || doc_id AS url,
-         CAST(1704067200 + (doc_id * 997) % 31536000 AS BIGINT) AS warc_epoch,
+# crawl epoch: seconds since 1970, spanning calendar year 2024
+WARC_EPOCH0 = 1704067200  # 2024-01-01T00:00:00Z
+_EPOCH_I = f"CAST({WARC_EPOCH0} + (doc_id * 2654435761) % 31536000 AS BIGINT)"
+
+_PAGE_TEXT_SELECT = """SELECT doc_id, lang,
          body || (CASE
            WHEN doc_id % 97 = 13 THEN ' <meta name="geo.position" content="95.12345;10.00000">'
            WHEN doc_id % 10 < 3 THEN ' <meta name="geo.position" content="' || clat || ';' || clon || '">'
            WHEN doc_id % 10 < 6 THEN ' <meta name="ICBM" content="' || ulat || ', ' || ulon || '">'
            WHEN doc_id % 10 = 6 THEN ' location: ' || ulat || ', ' || ulon
-           ELSE '' END) AS text,
+           ELSE '' END) AS text
+  FROM {src}"""
+
+# final assembly — EXACTLY the input_hint shape (url:string,
+# warc_ts:timestamp, html:binary, text:string, lang:string). Timestamp
+# construction and string->binary encoding have no engine-neutral SQL
+# spelling, so the two slots are formatted per engine; the *bytes* are
+# identical (html is the UTF-8 of a deterministic wrapper of text, warc_ts
+# is the same integer epoch).
+_HTML_STR = "'<!DOCTYPE html><html><body>' || text || '</body></html>'"
+_PAGES_SELECT_T = """SELECT
+         'https://crawl.example/' || lang || '/' || doc_id AS url,
+         {ts} AS warc_ts,
+         {html} AS html,
+         text,
          lang
   FROM {src}"""
 
-PAGES_CTE = f"""
+_SPARK_TS = f"timestamp_seconds({_EPOCH_I})"
+_SPARK_HTML = f"CAST(({_HTML_STR}) AS BINARY)"
+_DUCK_TS = f"epoch_ms({_EPOCH_I} * 1000)"
+_DUCK_HTML = f"encode({_HTML_STR})"
+
+
+def _pages_select(engine: str, src: str) -> str:
+    ts, html = (_SPARK_TS, _SPARK_HTML) if engine == "spark" else (_DUCK_TS, _DUCK_HTML)
+    return _PAGES_SELECT_T.format(ts=ts, html=html, src=src)
+
+
+def _pages_cte(engine: str) -> str:
+    return f"""
 page_coords AS (
   {_PAGE_COORDS_SELECT}
 ),
+page_text AS (
+  {_PAGE_TEXT_SELECT.format(src='page_coords')}
+),
 pages AS (
-  {_PAGES_SELECT.format(src='page_coords')}
+  {_pages_select(engine, 'page_text')}
 )
 """
+
+
+# oracle flavor: every module-level oracle SQL string embeds this and runs
+# under DuckDB; Spark builds the same rows via build_pages/ensure_pages_view
+PAGES_CTE = _pages_cte("duckdb")
 
 # extraction: LIKE pre-filter + regex group pull (reference analogue: the
 # scan-side coordinate extraction operator; regex kept backslash-free so the
@@ -77,7 +114,7 @@ pages AS (
 # (extract_from_table_cte).
 EXTRACT_BODY = """
 pair_match AS (
-  SELECT url, lang, warc_epoch,
+  SELECT url, lang, warc_ts,
          CASE
            WHEN text LIKE '%geo.position%'
              THEN regexp_extract(text, 'geo[.]position" content="(-?[0-9.]+;-?[0-9.]+)"', 1)
@@ -89,7 +126,7 @@ pair_match AS (
   FROM pages
 ),
 extracted AS (
-  SELECT url, lang, warc_epoch,
+  SELECT url, lang, warc_ts,
          CAST(regexp_extract(pair, '(-?[0-9]+[.][0-9]+)[;, ]+(-?[0-9]+[.][0-9]+)', 1) AS DOUBLE) AS lat,
          CAST(regexp_extract(pair, '(-?[0-9]+[.][0-9]+)[;, ]+(-?[0-9]+[.][0-9]+)', 2) AS DOUBLE) AS lon
   FROM pair_match
@@ -97,6 +134,9 @@ extracted AS (
 """
 
 EXTRACT_CTE = PAGES_CTE + "," + EXTRACT_BODY
+# inline-synthesis extraction for Spark plan tests (production Spark paths
+# go through ensure_pages_view instead — see its docstring)
+SPARK_EXTRACT_CTE = _pages_cte("spark") + "," + EXTRACT_BODY
 
 
 def extract_from_table_cte(pages_table: str) -> str:
@@ -169,5 +209,6 @@ def build_pages(spark, sf_dir: str, scale: int = 1, flat: bool = False):
           JOIN parquet.`{sf_dir}/documents.parquet` d
         """)
     if flat:
-        return spark.sql(_PAGES_SELECT.format(src=f"({_PAGE_COORDS_SELECT})"))
-    return spark.sql(f"WITH {PAGES_CTE} SELECT * FROM pages")
+        inner = _PAGE_TEXT_SELECT.format(src=f"({_PAGE_COORDS_SELECT})")
+        return spark.sql(_pages_select("spark", f"({inner})"))
+    return spark.sql(f"WITH {_pages_cte('spark')} SELECT * FROM pages")

@@ -585,7 +585,8 @@ def q_s2_cell_counts(spark, sf_dir):
 # ===========================================================================
 
 from . import pagesgen  # noqa: E402
-from .pagesgen import EXTRACT_BODY, EXTRACT_CTE, PAGES_CTE  # noqa: E402
+from .pagesgen import (EXTRACT_BODY, EXTRACT_CTE, PAGES_CTE,  # noqa: E402
+                       WARC_EPOCH0)
 
 # --- coordinate extraction (regex scan operator; shared SQL text) ------------
 # Oracle strings synthesize pages inline (DuckDB has no cache barrier to
@@ -3012,3 +3013,125 @@ def q_pii_stats(spark, sf_dir):
     email/IP/phone strings: per-doc hit counts and the md5 of the fully
     redacted text. One native-regex projection, zero shuffles."""
     return spark.sql(textops.pii_sql("spark"))
+
+
+# ===========================================================================
+# input_hint schema consumers: html binary column, warc_ts-driven kinematics
+# ===========================================================================
+
+# html is bytes; the two engines spell decode-to-string differently
+_HTML_STATS_T = """
+WITH {pages}
+SELECT lang,
+       COUNT(*) AS n_pages,
+       CAST(SUM(octet_length(html)) AS BIGINT) AS html_bytes,
+       CAST(SUM(CASE WHEN {dec} LIKE '%geo.position%' THEN 1 ELSE 0 END) AS BIGINT) AS n_geo_tagged,
+       CAST(SUM(CASE WHEN {dec} = '<!DOCTYPE html><html><body>' || text || '</body></html>'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+FROM pages
+GROUP BY lang
+"""
+
+
+@q("html_byte_stats",
+   _HTML_STATS_T.format(pages=PAGES_CTE, dec="decode(html)"))
+def q_html_byte_stats(spark, sf_dir):
+    """Binary-column consumption over the input_hint pages shape
+    (url, warc_ts, html:binary, text, lang): per-language byte volume,
+    geo-tag incidence inside the raw bytes, and the byte-identity
+    invariant html == utf8(wrapper(text)) asserted row-by-row
+    (n_roundtrip_ok must equal n_pages). Pure projections + one hash
+    aggregation with map-side combine; output is |langs| rows."""
+    cte = pagesgen.ensure_pages_view(spark, sf_dir)
+    return spark.sql(_HTML_STATS_T.format(
+        pages=cte, dec="CAST(html AS STRING)"))
+
+
+# --- warc_ts -> decimal-year epoch -> 14-param kinematic Helmert --------------
+# Plate-motion datum shift whose parameters are evaluated at each page's
+# crawl epoch (FIXTURES.md §1: warc_ts drives kinematic epochs). Params are
+# the published ITRF2000->NAD83(CORS96) 14-parameter set (reference
+# docs/source/operations/transformations/helmert.rst example; also
+# helmert.cpp:438-455 kinematic path). Epochs are quantized to crawl weeks
+# so the per-unique-epoch kernel evaluation sees 53 parameter sets per
+# batch, not one per row.
+
+_KIN_HELM = create(
+    "+proj=helmert +x=0.9956 +y=-1.9013 +z=-0.5215 "
+    "+rx=0.025915 +ry=0.009426 +rz=0.011599 +s=0.00062 "
+    "+dx=0.0007 +dy=-0.0007 +dz=0.0005 "
+    "+drx=0.000067 +dry=-0.000757 +drz=-0.000051 +ds=-0.000018 "
+    "+t_epoch=1997.0 +convention=coordinate_frame")
+_KIN_CART = create("+proj=cart +ellps=GRS80")
+
+
+def _kin_oracle() -> str:
+    h = _KIN_HELM
+    ell = _KIN_CART.ell
+    # coordinate_frame small-angle rotation (helmert.cpp:161-321, no
+    # transpose): x' = s(x + k y - p z) + tx, y' = s(-k x + y + o z) + ty,
+    # z' = s(p x - o y + z) + tz with (o,p,k) = (rx,ry,rz)(t) in radians
+    return f"""
+WITH {PAGES_CTE},{EXTRACT_BODY},
+good AS (
+  SELECT url, lat, lon,
+         2024.0 + floor((epoch(warc_ts) - {WARC_EPOCH0}) / 604800.0) / 52.0 AS t
+  FROM extracted
+  WHERE lat IS NOT NULL AND ABS(lat) <= 90.0 AND ABS(lon) <= 180.0
+),
+cart AS (
+  SELECT url, t,
+         n * cos(phi) * cos(lam) AS x,
+         n * cos(phi) * sin(lam) AS y,
+         n * {C(ell.one_es)} * sin(phi) AS z
+  FROM (
+    SELECT url, t, radians(lat) AS phi, radians(lon) AS lam,
+           {C(ell.a)} / sqrt(1.0 - {C(ell.es)} * sin(radians(lat)) * sin(radians(lat))) AS n
+    FROM good
+  ) g
+),
+shifted AS (
+  SELECT url, t,
+         (1.0 + ({C(h.s)} + {C(h.ds)} * dt) * 1e-6) AS s,
+         {C(h.rx)} + {C(h.drx)} * dt AS o,
+         {C(h.ry)} + {C(h.dry)} * dt AS p,
+         {C(h.rz)} + {C(h.drz)} * dt AS k,
+         {C(h.x)} + {C(h.dx)} * dt AS tx,
+         {C(h.y)} + {C(h.dy)} * dt AS ty,
+         {C(h.z)} + {C(h.dz)} * dt AS tz,
+         x, y, z
+  FROM (SELECT url, t, t - {C(h.t_epoch)} AS dt, x, y, z FROM cart) c
+)
+SELECT url, ROUND(t, 4) AS t_dec,
+       ROUND(s * (x + k * y - p * z) + tx, 2) AS hx,
+       ROUND(s * (-k * x + y + o * z) + ty, 2) AS hy,
+       ROUND(s * (p * x - o * y + z) + tz, 2) AS hz
+FROM shifted
+"""
+
+
+@q("warc_kinematic_helmert", _kin_oracle())
+def q_warc_kinematic_helmert(spark, sf_dir):
+    """Crawl-time-dependent datum shift: extract coordinates from pages,
+    quantize warc_ts to the crawl week's decimal year, then run
+    cart -> 14-param kinematic Helmert with per-row epochs through the
+    vectorized kernel (datum.py groups identical epochs, so 53 weekly
+    parameter sets per batch). Everything before the one Arrow crossing
+    is JVM regexp/codegen; the epoch column rides the pipeline's t
+    coordinate exactly like PJ_COORD.xyzt.t in the reference."""
+    from pyspark.sql import functions as F
+
+    cte = pagesgen.ensure_pages_view(spark, sf_dir)
+    df = spark.sql(f"""
+      WITH {cte},{EXTRACT_BODY}
+      SELECT url, lat, lon,
+             2024.0D + floor((unix_timestamp(warc_ts) - {WARC_EPOCH0}) / 604800.0D) / 52.0D AS t
+      FROM extracted
+      WHERE lat IS NOT NULL AND ABS(lat) <= 90.0 AND ABS(lon) <= 180.0""")
+    pipe = Pipeline([(_KIN_CART, "forward"), (_KIN_HELM, "forward")])
+    df = apply_transform(df, pipe, "lon", "lat", t_col="t",
+                         out_cols=("hx", "hy", "hz"))
+    return df.select("url", F.round("t", 4).alias("t_dec"),
+                     F.round("hx", 2).alias("hx"),
+                     F.round("hy", 2).alias("hy"),
+                     F.round("hz", 2).alias("hz"))

@@ -82,8 +82,8 @@ def test_knn_probe_side_broadcast(spark):
 def test_extraction_is_jvm_side(spark):
     """The regex coordinate extraction must stay in whole-stage codegen —
     no Python evaluation node in the scan stage."""
-    from proj_spark.pagesgen import EXTRACT_CTE
-    df = spark.sql(f"WITH {EXTRACT_CTE} SELECT url, lat, lon FROM extracted "
+    from proj_spark.pagesgen import SPARK_EXTRACT_CTE
+    df = spark.sql(f"WITH {SPARK_EXTRACT_CTE} SELECT url, lat, lon FROM extracted "
                    "WHERE lat IS NOT NULL")
     p = plan_of(df)
     assert "BatchEvalPython" not in p
