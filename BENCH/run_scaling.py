@@ -329,7 +329,8 @@ slowdowns are one-sided). Input: `{s['sf_dir']}`.
 | local[{hi}] | {s['high']['n_docs']} | {s['high']['wall_s']} | {s['high']['docs_per_sec']} |
 
 - speedup {lo} -> {hi} threads: **{s['speedup']}x** (nominal ideal {s['host_capacity_ideal']}x)
-- raw scaling efficiency: **{s['scaling_efficiency']}**
+- raw scaling efficiency: **{s['scaling_efficiency']}**{
+  ' — clears the >= 0.8 criterion with NO host normalization' if s['scaling_efficiency'] >= 0.8 else ''}
 
 - per-pair throughput ratios (interleaved fresh-JVM pairs, median is the
   reported speedup): {s['pair_ratios']}
@@ -345,8 +346,9 @@ what it can deliver at {hi} vs {lo} processes (no Spark, no shared state):
 | numpy 64 MB stream chain | DRAM-bandwidth ceiling | {s['host_stream_ratio']}x |
 
 The streaming control shows the box's memory bandwidth is saturated by ~4
-processes ({s['host_stream_ratio']}x means {hi} procs move data NO faster
-than {lo} — a single box has one set of memory channels). The engine job is
+processes ({s['host_stream_ratio']}x aggregate rate at {hi} procs relative
+to {lo} — at or below 1.0 means added processes only contend for the single
+set of memory channels a shared box has). The engine job is
 a mix: its kernels are L2-resident (they scale like the ALU control — a
 framework-free replica of extract+kernels+agg on cached data measures
 3.99x at 4->16), but the scan of the multi-GB cached relation, parquet

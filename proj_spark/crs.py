@@ -16,6 +16,16 @@ from __future__ import annotations
 import re
 
 from .ops import Operator, Pipeline, PushPop, create_operator
+
+
+def _read_pkg_gz(name: str) -> str:
+    """Read a gzipped text resource from proj_spark/data/. Goes through
+    importlib.resources, not a filesystem path, so it works when the
+    package ships as a spark-submit --py-files zip."""
+    import gzip
+    from importlib import resources
+    raw = (resources.files(__package__) / "data" / name).read_bytes()
+    return gzip.decompress(raw).decode("utf-8")
 from .kernels import cyl, conic, cartgeo, datum, azimuthal, gridshift, pseudocyl, misc2, misc3, dgg, meta, interrupted, tail1, tail2, tail3, tail4, tail5, tail6, complexpoly, space, adams  # noqa: F401 (registration)
 
 
@@ -235,14 +245,9 @@ def _epsg_generated() -> dict:
     precedence (they carry curated towgs84 values)."""
     global _EPSG_GENERATED
     if _EPSG_GENERATED is None:
-        import gzip
         import json
-        import os
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "data", "epsg.json.gz")
         try:
-            with gzip.open(path, "rt", encoding="utf-8") as f:
-                _EPSG_GENERATED = json.load(f)
+            _EPSG_GENERATED = json.loads(_read_pkg_gz("epsg.json.gz"))
         except OSError:
             _EPSG_GENERATED = {}
     return _EPSG_GENERATED
@@ -448,15 +453,10 @@ _EPSG_GRID_FILES = {
 def _xform_index() -> dict:
     global _XFORM_IDX
     if _XFORM_IDX is None:
-        import gzip
         import json
-        import os
-        path = os.path.join(os.path.dirname(__file__), "data",
-                            "epsg_xforms.json.gz")
         idx: dict = {}
-        with gzip.open(path, "rt") as f:
-            for rec in json.load(f):
-                idx.setdefault((rec["src"], rec["dst"]), []).append(rec)
+        for rec in json.loads(_read_pkg_gz("epsg_xforms.json.gz")):
+            idx.setdefault((rec["src"], rec["dst"]), []).append(rec)
         _XFORM_IDX = idx
     return _XFORM_IDX
 
