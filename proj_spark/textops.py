@@ -92,27 +92,39 @@ sh_sets AS (SELECT DISTINCT doc_id, sh FROM shingles)
 def shingles_cte(dialect: str) -> str:
     return SHINGLES_SPARK if dialect == "spark" else SHINGLES_CTE
 
-_PERMS = "(VALUES " + ",".join(f"({i})" for i in range(16)) + ") AS perms(p)"
-
-
 def minhash_lsh_sql(dialect: str) -> str:
-    """Full MinHash->LSH->verify pipeline; dialect in {spark, duck}."""
+    """Full MinHash->LSH->verify pipeline; dialect in {spark, duck}.
+
+    All 16 permutation minimums are computed in ONE pass over the raw
+    shingles (MIN ignores duplicates, so no DISTINCT is needed first):
+    one hash aggregation on doc_id with map-side combine, one row per doc
+    out — where the cross-join-with-permutations form pushed 16x the
+    shingle volume through TWO aggregations ((doc_id, p), then banding).
+    Band keys are then pure projections; Spark emits the 4 band rows
+    map-side via posexplode, the DuckDB oracle via UNION ALL."""
     shingle_with = (f"{DUP_DOCS_CTE}, {SHINGLES_SPARK}" if dialect == "spark"
                     else f"{DUP_DOCS_CTE}, {WORDS_DUCK}, {SHINGLES_CTE}")
-    band_key = " || ".join(
-        f"MAX(CASE WHEN p % 4 = {r} THEN mh END)" for r in range(4))
+    mins = ", ".join(f"MIN(md5('{p}|' || sh)) AS mh{p}" for p in range(16))
+    bkeys = [" || ".join(f"mh{4 * b + r}" for r in range(4)) for b in range(4)]
+    if dialect == "spark":
+        bands = f"""
+bands AS (
+  SELECT doc_id, b.band, b.bkey
+  FROM minhash
+  LATERAL VIEW posexplode(array({", ".join(bkeys)})) b AS band, bkey
+)"""
+    else:
+        bands = "bands AS (" + "\n  UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, {k} AS bkey FROM minhash"
+            for b, k in enumerate(bkeys)) + ")"
     return f"""
 WITH {shingle_with},
 minhash AS (
-  SELECT doc_id, p, MIN(md5(CAST(p AS STRING) || '|' || sh)) AS mh
-  FROM sh_sets CROSS JOIN {_PERMS}
-  GROUP BY doc_id, p
+  SELECT doc_id, {mins}
+  FROM shingles
+  GROUP BY doc_id
 ),
-bands AS (
-  SELECT doc_id, CAST(FLOOR(p / 4.0) AS INT) AS band, {band_key} AS bkey
-  FROM minhash
-  GROUP BY doc_id, CAST(FLOOR(p / 4.0) AS INT)
-),
+{bands},
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM bands a

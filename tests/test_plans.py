@@ -138,3 +138,18 @@ def test_embedding_near_dup_no_cartesian(spark):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_single_pass_agg(spark):
+    """All 16 MinHash permutation minimums are one hash aggregation over
+    the raw shingles (Functions [16], with map-side partial_min), band
+    keys are projections, and candidate generation stays an equi-join —
+    the cross-join-with-permutations shape (16x shuffle volume, two
+    aggregations) must not come back."""
+    from proj_spark import textops
+    df = spark.sql(textops.minhash_lsh_sql("spark"))
+    plan = plan_of(df)
+    assert "Functions [16]" in plan
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
