@@ -3135,3 +3135,75 @@ def q_warc_kinematic_helmert(spark, sf_dir):
                      F.round("hx", 2).alias("hx"),
                      F.round("hy", 2).alias("hy"),
                      F.round("hz", 2).alias("hz"))
+
+
+@q("benchmark_decontam", textops.decontam_sql("duck"))
+def q_benchmark_decontam(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any word-8-gram
+    with the held-out eval slice, with per-doc hit counts and fraction —
+    the leakage scan run before training. Eval n-grams are tiny against
+    a TB-scale corpus, so candidate probing is a broadcast hash join over
+    map-side-built n-grams; one corpus scan, one doc-keyed rollup."""
+    return spark.sql(textops.decontam_sql("spark"))
+
+
+# --- H3-style hexagonal tiling (axial hex binning with cube rounding) --------
+# The north rule names "H3/S2 cells": S2 Hilbert ids are native
+# (kernels/s2cell.py); this is the hexagonal side — pointy-top hex binning
+# on the spherical-mercator plane via axial coordinates + cube rounding
+# (Red Blob Games' canonical construction; true H3 additionally nests
+# aperture-7 hexes on an icosahedral gnomonic plane — the binning algebra
+# below is the same). Everything is closed-form column arithmetic, so both
+# engines run the IDENTICAL SQL: whole-stage-codegen projections + one hash
+# aggregation; no UDF, no shuffle before the count.
+
+_HEX_SQL = f"""
+WITH {POINTS_CTE},
+mercator AS (
+  SELECT pid,
+         6378137.0 * radians(lon) AS mx,
+         6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)) AS my
+  FROM points
+  WHERE ABS(lat) <= 85.06
+),
+axial AS (
+  -- quantize to 1e-6 hex units (~0.25 m): JVM and libm transcendentals
+  -- (ln/tan) may differ by 1 ulp, which must not flip a knife-edge
+  -- cube-rounding comparison between the two engines
+  SELECT pid,
+         ROUND((sqrt(3.0) / 3.0 * mx - my / 3.0) / 250000.0, 6) AS aq,
+         -- my * 2.0 first: Spark parses 2.0/3.0 as DECIMAL/DECIMAL and
+         -- truncates the quotient's scale; double-first keeps it DOUBLE
+         ROUND((my * 2.0 / 3.0) / 250000.0, 6) AS ar
+  FROM mercator
+),
+cube AS (
+  SELECT pid, aq, ar,
+         ROUND(aq) AS rq, ROUND(-aq - ar) AS ry, ROUND(ar) AS rr
+  FROM axial
+),
+snapped AS (
+  SELECT pid,
+         CASE WHEN ABS(rq - aq) > ABS(ry - (-aq - ar)) AND ABS(rq - aq) > ABS(rr - ar)
+              THEN -ry - rr ELSE rq END AS hq0,
+         CASE WHEN NOT (ABS(rq - aq) > ABS(ry - (-aq - ar)) AND ABS(rq - aq) > ABS(rr - ar))
+                   AND ABS(rr - ar) > ABS(ry - (-aq - ar))
+              THEN -rq - ry ELSE rr END AS hr0
+  FROM cube
+)
+SELECT CAST(hq0 AS BIGINT) AS hq, CAST(hr0 AS BIGINT) AS hr,
+       COUNT(*) AS n_docs
+FROM snapped
+GROUP BY 1, 2
+"""
+
+
+@q("hex_tile_counts", _HEX_SQL)
+def q_hex_tile_counts(spark, sf_dir):
+    """H3-style hexagonal cell counts: spherical-mercator plane ->
+    pointy-top axial hex coordinates (250 km hexes) -> cube rounding to
+    the containing hex -> count per cell. Pure JVM codegen projections
+    feeding one map-side-combined hash aggregation; the hex algebra is
+    exactly H3's cell-snapping math, minus the icosahedral face/aperture
+    hierarchy (S2 carries the hierarchical-id role in this engine)."""
+    return spark.sql(_HEX_SQL)

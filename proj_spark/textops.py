@@ -551,3 +551,58 @@ SELECT s.doc_id,
 FROM spans s JOIN span_df d ON d.sh = s.sh
 GROUP BY s.doc_id
 """
+
+
+# --- benchmark decontamination (n-gram overlap scan) -------------------------
+
+def decontam_sql(dialect: str, n: int = 8) -> str:
+    """Benchmark decontamination: flag training docs that share any
+    word-``n``-gram with a held-out evaluation set — the overlap rule
+    training-data pipelines apply before training so benchmark text never
+    leaks into the corpus (typically 8-13 word n-grams).
+
+    The eval set here is the deterministic slice doc_id % 101 == 0 of the
+    originals; contaminated rows are those docs themselves plus their
+    exact/near copies in dup_docs. Shape at scale: eval n-grams are tiny
+    (benchmarks are MBs, the corpus is TBs), so the probe is a BROADCAST
+    hash join against the full corpus's map-side-built n-grams — one scan
+    of the corpus, no shuffle of corpus-sized data; the per-doc rollup is
+    a hash aggregation on doc_id. Output only contaminated docs."""
+    if dialect == "spark":
+        grams = f"""
+grams AS (
+  SELECT doc_id, g
+  FROM (SELECT doc_id, split(text, ' ') AS ws FROM dup_docs)
+  LATERAL VIEW explode(
+    CASE WHEN size(ws) >= {n}
+         THEN transform(sequence(0, size(ws) - {n}),
+                        i -> concat_ws(' ', slice(ws, i + 1, {n})))
+         ELSE array() END) t AS g
+)"""
+        hint = "/*+ BROADCAST(b) */ "
+    else:
+        grams = f"""
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + {n - 1}), ' ') AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM dup_docs),
+       UNNEST(generate_series(1, GREATEST(len(ws) - {n - 1}, 0))) AS t(i)
+)"""
+        hint = ""
+    return f"""
+WITH {DUP_DOCS_CTE},{grams},
+gsets AS (SELECT DISTINCT doc_id, g FROM grams),
+bench AS (
+  SELECT DISTINCT g FROM gsets WHERE doc_id % 101 = 0 AND doc_id < 100000
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM gsets GROUP BY doc_id),
+hits AS (
+  SELECT {hint}s.doc_id, COUNT(*) AS n_hits
+  FROM gsets s JOIN bench b ON b.g = s.g
+  GROUP BY s.doc_id
+)
+SELECT h.doc_id, h.n_hits, z.n_grams,
+       ROUND(CAST(h.n_hits AS DOUBLE) / z.n_grams, 6) AS hit_frac,
+       CAST(CASE WHEN h.doc_id % 101 = 0 AND h.doc_id < 100000
+            THEN 1 ELSE 0 END AS INT) AS is_eval_doc
+FROM hits h JOIN sizes z ON z.doc_id = h.doc_id
+"""

@@ -153,3 +153,14 @@ def test_minhash_single_pass_agg(spark):
     assert "partial_min" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontam_probe_is_broadcast(spark):
+    """The decontamination probe joins the (tiny) eval n-gram set against
+    the corpus's map-side n-grams as a BROADCAST hash join — the corpus
+    side must never shuffle for candidate generation."""
+    from proj_spark import textops
+    df = spark.sql(textops.decontam_sql("spark"))
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
