@@ -455,10 +455,50 @@ def _xform_index() -> dict:
     if _XFORM_IDX is None:
         import json
         idx: dict = {}
-        for rec in json.loads(_read_pkg_gz("epsg_xforms.json.gz")):
+        try:
+            rows = json.loads(_read_pkg_gz("epsg_xforms.json.gz"))
+        except OSError:
+            # degrade like _epsg_generated: registry queries return no
+            # candidates instead of the whole module failing to import
+            # (querylib builds its ED50 candidate table at import time)
+            rows = []
+        for rec in rows:
             idx.setdefault((rec["src"], rec["dst"]), []).append(rec)
         _XFORM_IDX = idx
     return _XFORM_IDX
+
+
+def _bbox_intersect(b1, b2):
+    """Intersection of two areas of use, honoring antimeridian-crossing
+    extents (west > east, e.g. the NAD27 Alaska grid 168.1..-129.99).
+    Returns None for disjoint extents; a crossing result keeps the
+    west > east encoding that bbox_contains/_bbox_area understand."""
+    if b1 is None:
+        return b2
+    if b2 is None:
+        return b1
+    s, n = max(b1[1], b2[1]), min(b1[3], b2[3])
+    if s >= n:
+        return None
+    w1, e1 = b1[0], b1[2] + (360.0 if b1[2] < b1[0] else 0.0)
+    w2o, e2o = b2[0], b2[2] + (360.0 if b2[2] < b2[0] else 0.0)
+    # a (near-)global extent constrains only latitude
+    if e1 - w1 >= 360.0 - 1e-9:
+        return (b2[0], s, b2[2], n)
+    if e2o - w2o >= 360.0 - 1e-9:
+        return (b1[0], s, b1[2], n)
+    best = None
+    for shift in (-360.0, 0.0, 360.0):  # compare on the unwrapped circle
+        w, e = max(w1, w2o + shift), min(e1, e2o + shift)
+        if e > w and (best is None or e - w > best[1] - best[0]):
+            best = (w, e)
+    if best is None:
+        return None
+
+    def norm(x):
+        return x - 360.0 if x > 180.0 else x + 360.0 if x < -180.0 else x
+
+    return (norm(best[0]), s, norm(best[1]), n)
 
 
 def _bbox_area(bbox) -> float:
@@ -515,12 +555,12 @@ def transform_candidates(src_code: int, dst_code: int,
         for r1, i1 in one_way(src_code, pivot):
             for r2, i2 in one_way(pivot, dst_code):
                 b1, b2 = r1["bbox"], r2["bbox"]
-                bbox = b1 if b2 is None else b2 if b1 is None else (
-                    max(b1[0], b2[0]), max(b1[1], b2[1]),
-                    min(b1[2], b2[2]), min(b1[3], b2[3]))
-                if bbox is not None and (bbox[0] >= bbox[2]
-                                         or bbox[1] >= bbox[3]):
-                    continue  # disjoint areas of use
+                if b1 is not None or b2 is not None:
+                    bbox = _bbox_intersect(b1, b2)
+                    if bbox is None:
+                        continue  # disjoint areas of use
+                else:
+                    bbox = None
                 cands.append({"legs": [(r1, i1), (r2, i2)],
                               "acc": acc_of(r1) + acc_of(r2),
                               "bbox": bbox,

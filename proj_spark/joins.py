@@ -84,6 +84,25 @@ def pip_join(spark, points: DataFrame, lon_col: str = "lon_i",
                 .drop("cell_x", "cell_y"))
 
 
+# persisted intermediates of the most recent knn_join call. Each call
+# caches two output-sized DataFrames that its returned lazy plan consumes
+# several times; they must stay cached while that plan is alive, so the
+# function cannot unpersist them itself. Instead every new call evicts the
+# previous call's blocks (a stale consumer would just recompute), bounding
+# storage-memory growth across repeated calls (bench sweeps, test loops).
+_knn_persisted: list = []
+
+
+def release_knn_cache() -> None:
+    """Unpersist intermediates cached by earlier knn_join calls."""
+    while _knn_persisted:
+        df = _knn_persisted.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # its SparkSession is already stopped; nothing to free
+
+
 def knn_join(spark, queries: DataFrame, points: DataFrame, k: int = 5,
              cell_i: int = KNN_CELL_I) -> DataFrame:
     """Exact planar kNN on int64 scaled coords.
@@ -93,6 +112,8 @@ def knn_join(spark, queries: DataFrame, points: DataFrame, k: int = 5,
     tie-break — identical to the brute-force oracle.
     """
     from pyspark.sql.window import Window
+
+    release_knn_cache()
 
     cell = float(cell_i)
     pts = (points
@@ -124,6 +145,7 @@ def knn_join(spark, queries: DataFrame, points: DataFrame, k: int = 5,
                .withColumn("rank", F.row_number().over(w))
                .filter(F.col("rank") <= k)
                .persist())
+    _knn_persisted.append(cand)
 
     # certification: k-th distance must not exceed the squared distance from
     # the query point to the 3x3 block boundary (beyond which unseen points
@@ -172,6 +194,7 @@ def knn_join(spark, queries: DataFrame, points: DataFrame, k: int = 5,
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .persist())
+    _knn_persisted.append(cand2)
     gx2 = F.least(F.col("qx") - (F.col("qcx") - F.col("R")) * F.lit(cell_i),
                   (F.col("qcx") + F.col("R") + 1) * F.lit(cell_i)
                   - F.col("qx"))

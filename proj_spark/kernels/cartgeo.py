@@ -33,6 +33,7 @@ class Cart(Operator):
     """
 
     name = "cart"
+    gate_lat0 = False
     aliases = ("geocent",)
     left = U_RADIANS
     right = U_CARTESIAN
@@ -103,6 +104,7 @@ class Geoc(Operator):
     src/geocentric_latitude.cpp): tan(theta) = (1-es) * tan(phi)."""
 
     name = "geoc"
+    gate_lat0 = False
     left = U_RADIANS
     right = U_RADIANS
 
@@ -129,6 +131,7 @@ class Axisswap(Operator):
     """
 
     name = "axisswap"
+    gate_lat0 = False
     left = U_WHATEVER
     right = U_WHATEVER
 
@@ -305,6 +308,7 @@ class Unitconvert(Operator):
     (reference src/conversions/unitconvert.cpp:279-407)."""
 
     name = "unitconvert"
+    gate_lat0 = False
     left = U_WHATEVER
     right = U_WHATEVER
 
@@ -391,6 +395,7 @@ class SetOp(Operator):
     (reference src/conversions/set.cpp:69)."""
 
     name = "set"
+    gate_lat0 = False
     left = U_WHATEVER
     right = U_WHATEVER
 

@@ -448,6 +448,7 @@ class Latlong(Operator):
     left = right = radians; a pure no-op in the dataflow."""
 
     name = "latlong"
+    gate_lat0 = False
     aliases = ("longlat", "latlon", "lonlat")
     left = U_RADIANS
     right = U_RADIANS
@@ -470,6 +471,7 @@ class Noop(Operator):
     """+proj=noop (reference src/conversions/noop.cpp:15)."""
 
     name = "noop"
+    gate_lat0 = False
     left = "whatever"
     right = "whatever"
 

@@ -59,6 +59,7 @@ class Helmert(Operator):
     branching — SURVEY.md §7.3.6)."""
 
     name = "helmert"
+    gate_lat0 = False
     aliases = ("molobadekas",)
     left = U_CARTESIAN
     right = U_CARTESIAN
@@ -205,6 +206,7 @@ class Molodensky(Operator):
     (reference src/transformations/molodensky.cpp)."""
 
     name = "molodensky"
+    gate_lat0 = False
     left = U_RADIANS
     right = U_RADIANS
 
@@ -287,6 +289,7 @@ class GeogOffset(Operator):
     src/transformations/affine.cpp geogoffset): dlon/dlat arcsec, dh metres."""
 
     name = "geogoffset"
+    gate_lat0 = False
     left = U_RADIANS
     right = U_RADIANS
 
@@ -309,6 +312,7 @@ class Affine(Operator):
     out = [xoff,yoff,zoff] + S * [x,y,z] with a 3x3 matrix s11..s33."""
 
     name = "affine"
+    gate_lat0 = False
     left = "whatever"
     right = "whatever"
 

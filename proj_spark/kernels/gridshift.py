@@ -187,6 +187,7 @@ class Hgridshift(_GridShiftBase):
     fixed-point iteration like gridshift.cpp:594-640, <=10 iterations)."""
 
     name = "hgridshift"
+    gate_lat0 = False
 
     def _fwd(self, lam, phi, z, t):
         gate = self._time_mask(t)
@@ -220,6 +221,7 @@ class Vgridshift(_GridShiftBase):
     interpolated dz, inverse subtracts it at the same horizontal position."""
 
     name = "vgridshift"
+    gate_lat0 = False
 
     def setup(self):
         super().setup()

@@ -244,6 +244,14 @@ class Operator:
     right = U_CLASSIC
     has_inverse = True
     skip_prepare = False  # unitconvert-style ops bypass angular prepare
+    # |lat_0| <= 90 construction gate: the reference checks this
+    # per-projection (laea.cpp:252-257, aea/cea/eqc/eqdc/merc); ungated
+    # reference projections still NaN at transform time for such lat_0,
+    # so construction-reject is kept for the projection catalog.
+    # Conversions/transformations that never READ lat_0 upstream
+    # (latlong, cart, helmert, axisswap, ...) opt out — the reference
+    # accepts a stray +lat_0 on them.
+    gate_lat0 = True
 
     def __init__(self, params: dict, invoked_name: str | None = None):
         self.params = dict(params)
@@ -251,7 +259,7 @@ class Operator:
         self.ell: Ellipsoid = resolve_ellipsoid(params)
         self.lam0 = _angles(params, "lon_0")
         self.phi0 = _angles(params, "lat_0")
-        if abs(self.phi0) > HALF_PI + 1e-12:
+        if self.gate_lat0 and abs(self.phi0) > HALF_PI + 1e-12:
             # shared |lat_0| <= 90 gate (reference: per-projection checks,
             # e.g. laea.cpp:254, aeqd.cpp; uniform illegal-arg errno)
             from .errors import illegal_arg

@@ -56,7 +56,9 @@ _LIN_UOM = {"9001": 1.0, "1033": 0.01, "1025": 0.001}  # m, cm, mm
 _ROT_UOM = {"9104": 1.0,                 # arc-second
             "9109": 0.001 * 206.264806247096355,  # microradian -> arcsec
             "1031": 0.001,               # milliarc-second
-            "9113": 0.0001 * 3600 * 0.9 / 100.0,  # centesimal second
+            # centesimal second = gon/10000 = 0.9 deg / 10000 = 0.324"
+            # (reference unit_of_measure.sql 9113: 1.5707963e-06 rad)
+            "9113": 0.9 / 10000.0 * 3600.0,
             }
 _SCL_UOM = {"9202": 1.0, "1028": 1e-3, "9201": 1e6}  # ppm, ppb, unity
 
