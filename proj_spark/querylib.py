@@ -3207,3 +3207,87 @@ def q_hex_tile_counts(spark, sf_dir):
     exactly H3's cell-snapping math, minus the icosahedral face/aperture
     hierarchy (S2 carries the hierarchical-id role in this engine)."""
     return spark.sql(_HEX_SQL)
+
+
+# --- CH1903 -> WGS84 from the transformation registry ------------------------
+# The best registry candidate for 4149->4326 is EPSG:1753, whose rotations
+# are stored in CENTESIMAL SECONDS (EPSG UOM 9113) in the published SQL —
+# the unit-conversion path a curated-constants table never exercises. The
+# engine runs the registry row through the kernel; the oracle re-derives
+# the small-angle matrix independently.
+
+_CH_PTS = """
+ch_points AS (
+  SELECT l_orderkey * 8 + l_linenumber AS pid,
+         CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 440000 AS DOUBLE) / 100000.0 + 6.0 AS lon,
+         CAST((l_orderkey * 2246822519 + l_linenumber * 10369) % 190000 AS DOUBLE) / 100000.0 + 45.9 AS lat
+  FROM lineitem
+)
+"""
+
+
+def _ch1903_rec() -> dict:
+    from .crs import transform_candidates
+    cands = transform_candidates(4149, 4326)
+    if not cands:  # registry data missing: the query will raise at run
+        return {}
+    rec, inv = cands[0]["legs"][0]
+    assert rec["code"] == 1753 and not inv
+    return rec
+
+
+_CH_REC = _ch1903_rec()
+_CH_CART = create("+proj=cart +ellps=bessel")
+
+
+def _ch1903_oracle() -> str:
+    from .kernels.datum import ARCSEC_TO_RAD, _rot_matrix
+    rec = _CH_REC
+    if not rec:
+        return "SELECT 1"
+    r = _rot_matrix(rec["rx"] * ARCSEC_TO_RAD, rec["ry"] * ARCSEC_TO_RAD,
+                    rec["rz"] * ARCSEC_TO_RAD, exact=False,
+                    position_vector=False)
+    s = 1.0 + rec["s"] * 1e-6
+    ell = _CH_CART.ell
+    return f"""
+WITH {_CH_PTS},
+cart AS (
+  SELECT pid,
+         n * cos(phi) * cos(lam) AS x,
+         n * cos(phi) * sin(lam) AS y,
+         n * {C(ell.one_es)} * sin(phi) AS z
+  FROM (
+    SELECT pid, radians(lat) AS phi, radians(lon) AS lam,
+           {C(ell.a)} / sqrt(1.0 - {C(ell.es)} * sin(radians(lat)) * sin(radians(lat))) AS n
+    FROM ch_points
+  ) g
+)
+SELECT pid,
+       ROUND({C(s)} * ({C(r[0,0])}*x + {C(r[0,1])}*y + {C(r[0,2])}*z) + {C(rec['x'])}, 2) AS wx,
+       ROUND({C(s)} * ({C(r[1,0])}*x + {C(r[1,1])}*y + {C(r[1,2])}*z) + {C(rec['y'])}, 2) AS wy,
+       ROUND({C(s)} * ({C(r[2,0])}*x + {C(r[2,1])}*y + {C(r[2,2])}*z) + {C(rec['z'])}, 2) AS wz
+FROM cart
+"""
+
+
+@q("ch1903_registry_shift", _ch1903_oracle())
+def q_ch1903_registry_shift(spark, sf_dir):
+    """CH1903 -> WGS84 geocentric via the EPSG transformation registry:
+    the engine builds the Helmert from registry row EPSG:1753 (rotations
+    published in centesimal seconds, converted at extraction) and runs it
+    through the vectorized kernel; the oracle re-derives the matrix from
+    the same row independently. Output stops at shifted geocentric XYZ so
+    the oracle stays closed-form."""
+    from pyspark.sql import functions as F
+    rec = _CH_REC
+    helm = create(
+        f"+proj=helmert +x={rec['x']} +y={rec['y']} +z={rec['z']} "
+        f"+rx={rec['rx']} +ry={rec['ry']} +rz={rec['rz']} +s={rec['s']} "
+        f"+convention={rec['convention']}")
+    df = spark.sql(f"WITH {_CH_PTS} SELECT * FROM ch_points")
+    pipe = Pipeline([(_CH_CART, "forward"), (helm, "forward")])
+    df = apply_transform(df, pipe, "lon", "lat", out_cols=("wx", "wy", "wz"))
+    return df.select("pid", F.round("wx", 2).alias("wx"),
+                     F.round("wy", 2).alias("wy"),
+                     F.round("wz", 2).alias("wz"))
