@@ -129,3 +129,20 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def streaming_dedup(events: DataFrame, key_cols=("event_id",),
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each key within
+    the watermark horizon (dropDuplicatesWithinWatermark, the streaming
+    counterpart of the batch hash-groupBy dedup_exact).
+
+    State is one entry per distinct key seen inside the horizon and is
+    evicted as the watermark advances — bounded by arrival rate x horizon,
+    independent of total stream length; a plain dropDuplicates would
+    accumulate state forever on an unbounded crawl feed. Re-crawled or
+    replayed rows (same event_id/url) inside the horizon are dropped
+    deterministically."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))

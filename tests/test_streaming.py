@@ -114,3 +114,25 @@ def test_sessionize_stateful(spark, tmp_path):
     assert len(got) == 1
     assert got.iloc[0]["n_events"] == 5
     assert got.iloc[0]["sum_value"] == 5.0
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    """streaming_dedup keeps exactly the first arrival per event_id across
+    micro-batches: a replayed/duplicated feed converges to the batch
+    distinct set."""
+    src = str(tmp_path / "dup_events")
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(500)
+    # duplicate every row (replay) and split across files/micro-batches
+    base.union(base).repartition(4).write.mode("overwrite").parquet(src)
+    for extra in os.listdir(src):
+        if extra.startswith("_"):
+            os.remove(os.path.join(src, extra))
+
+    # horizon must cover the fixture's whole ts span: the files are not
+    # time-ordered, so with a short watermark rows arriving in a later
+    # micro-batch but timestamped before it would be dropped as late
+    deduped = streaming.streaming_dedup(
+        streaming.read_event_stream(spark, src), watermark="8760 hours")
+    streaming.run_to_memory(deduped, "dedup_out", mode="append")
+    got = spark.table("dedup_out")
+    assert got.count() == got.select("event_id").distinct().count() == 500
