@@ -3291,3 +3291,77 @@ def q_ch1903_registry_shift(spark, sf_dir):
     return df.select("pid", F.round("wx", 2).alias("wx"),
                      F.round("wy", 2).alias("wy"),
                      F.round("wz", 2).alias("wz"))
+
+
+# --- distance-threshold spatial join (range join) -----------------------------
+# All (point, city) pairs within R on the sphere. The scale shape is the
+# PIP cover pattern applied to a radius predicate: the small side explodes
+# to the grid cells its R-bbox covers (per-row longitude span widened by
+# 1/cos(lat), antimeridian cells wrapped with pmod), the big side computes
+# its cell key map-side, candidates come from a BROADCAST equi-join on the
+# cell, and the exact great-circle test runs only on candidates. The big
+# side never shuffles; a naive theta join would be a cartesian.
+
+_RJ_R = 300000.0        # 300 km
+_RJ_CELL = 3.0          # 3 deg cells (>= R's 2.698 deg latitude half-span)
+
+_RJ_CITIES = """
+cities AS (
+  SELECT n_nationkey AS cid,
+         CAST((n_nationkey * 2654435761) % 36000000 AS DOUBLE) / 100000.0 - 180.0 AS clon,
+         CAST((n_nationkey * 2246822519) % 12000000 AS DOUBLE) / 100000.0 - 60.0 AS clat
+  FROM nation
+)
+"""
+
+_RJ_DIST = (f"{C(_SPHERE_R)} * acos(LEAST(1.0, GREATEST(-1.0,"
+            " sin(radians(clat)) * sin(radians(lat))"
+            " + cos(radians(clat)) * cos(radians(lat))"
+            " * cos(radians(lon) - radians(clon)))))")
+
+_RJ_ORACLE = f"""
+WITH {POINTS_CTE}, {_RJ_CITIES}
+SELECT cid, pid, ROUND(d, 1) AS dist_m
+FROM (
+  SELECT c.cid, p.pid, {_RJ_DIST} AS d
+  FROM points p CROSS JOIN cities c
+) t
+WHERE d <= {C(_RJ_R)}
+"""
+
+_RJ_SPARK = f"""
+WITH {POINTS_CTE}, {_RJ_CITIES},
+cover AS (
+  SELECT cid, clon, clat,
+         CAST(floor(clat / {_RJ_CELL}D) AS BIGINT) + dy AS cell_y,
+         pmod(CAST(floor(clon / {_RJ_CELL}D) AS BIGINT) + dx + 60, 120) - 60 AS cell_x
+  FROM (SELECT cid, clon, clat,
+               CAST(ceil(2.698D / ({_RJ_CELL}D *
+                    cos(radians(LEAST(ABS(clat) + 2.7D, 89.0D))))) AS INT) AS nx
+        FROM cities)
+  LATERAL VIEW explode(sequence(-nx, nx)) tx AS dx
+  LATERAL VIEW explode(sequence(-1, 1)) ty AS dy
+),
+pcells AS (
+  SELECT pid, lon, lat,
+         CAST(floor(lon / {_RJ_CELL}D) AS BIGINT) AS cell_x,
+         CAST(floor(lat / {_RJ_CELL}D) AS BIGINT) AS cell_y
+  FROM points
+)
+SELECT cid, pid, ROUND(d, 1) AS dist_m
+FROM (
+  SELECT /*+ BROADCAST(c) */ c.cid, p.pid, {_RJ_DIST} AS d
+  FROM pcells p JOIN cover c ON p.cell_x = c.cell_x AND p.cell_y = c.cell_y
+) t
+WHERE d <= {C(_RJ_R)}
+"""
+
+
+@q("within_radius_join", _RJ_ORACLE)
+def q_within_radius_join(spark, sf_dir):
+    """Distance-threshold spatial join: every (point, city) pair within
+    300 km great-circle distance, via broadcast cell-cover equi-join +
+    exact verify (docstring at _RJ_SPARK). The DuckDB oracle is the
+    definitional brute-force cross join — deliberately a different plan,
+    same pairs."""
+    return spark.sql(_RJ_SPARK)

@@ -164,3 +164,15 @@ def test_decontam_probe_is_broadcast(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_within_radius_join_is_broadcast(spark):
+    """The range join's candidate generation is a broadcast equi-join on
+    the cell key (small side = city cover cells); the points side must
+    not shuffle and no theta/cartesian join may appear."""
+    df = querylib.QUERIES["within_radius_join"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
