@@ -3365,3 +3365,57 @@ def q_within_radius_join(spark, sf_dir):
     definitional brute-force cross join — deliberately a different plan,
     same pairs."""
     return spark.sql(_RJ_SPARK)
+
+
+# --- as-of join ---------------------------------------------------------------
+# Each event matched to the LATEST state row at-or-before its timestamp —
+# the temporal join Spark has no native operator for. Engine shape: tag
+# state + event rows, one shuffle on the key, and a running
+# last-non-null window scan per key (rows unbounded preceding .. current;
+# state rows sort before events at equal ts so "at-or-before" is
+# inclusive). This is the canonical distributed as-of: one exchange +
+# one sort, no per-key merge_asof in Python. The oracle is DuckDB's
+# native ASOF LEFT JOIN — a different algorithm, same matches.
+
+_ASOF_RATES = """
+rates AS (
+  SELECT user_id % 50 AS k, ts AS rts, MAX(value) AS rate
+  FROM events WHERE event_id % 37 = 0
+  GROUP BY user_id % 50, ts
+),
+ev AS (SELECT event_id, user_id % 50 AS k, ts FROM events)
+"""
+
+_ASOF_SPARK = f"""
+WITH {_ASOF_RATES},
+tagged AS (
+  SELECT k, rts AS ts, rate, 1 AS is_rate, CAST(NULL AS BIGINT) AS event_id
+  FROM rates
+  UNION ALL
+  SELECT k, ts, CAST(NULL AS DOUBLE) AS rate, 0 AS is_rate, event_id
+  FROM ev
+),
+matched AS (
+  SELECT k, event_id, is_rate,
+         LAST(rate, true) OVER (
+             PARTITION BY k ORDER BY ts, is_rate DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate
+  FROM tagged
+)
+SELECT event_id, k, ROUND(rate, 4) AS rate
+FROM matched WHERE is_rate = 0
+"""
+
+_ASOF_ORACLE = f"""
+WITH {_ASOF_RATES}
+SELECT e.event_id, e.k, ROUND(r.rate, 4) AS rate
+FROM ev e ASOF LEFT JOIN rates r ON e.k = r.k AND e.ts >= r.rts
+"""
+
+
+@q("asof_join", _ASOF_ORACLE)
+def q_asof_join(spark, sf_dir):
+    """As-of join: each event takes the latest state (rate) row
+    at-or-before its timestamp per key. Union-tag + running
+    last-non-null window; one shuffle, no Python."""
+    return spark.sql(_ASOF_SPARK)
