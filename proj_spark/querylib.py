@@ -1392,7 +1392,9 @@ from . import textops  # noqa: E402
 
 @q("minhash_lsh_pairs", textops.minhash_lsh_sql("duck"))
 def q_minhash_lsh_pairs(spark, sf_dir):
-    return spark.sql(textops.minhash_lsh_sql("spark"))
+    textops.ensure_sh_sets_view(spark)
+    return spark.sql(textops.minhash_lsh_sql(
+        "spark", cached_view=textops.SH_SETS_VIEW))
 
 
 @q("simhash_48", textops.simhash_sql("duck"))
@@ -2988,8 +2990,9 @@ def q_dedup_components(spark, sf_dir):
 
     from . import graph
 
+    textops.ensure_sh_sets_view(spark)
     pairs = spark.sql(
-        f"SELECT id1, id2 FROM ({textops.minhash_lsh_sql('spark')})")
+        f"SELECT id1, id2 FROM ({textops.minhash_lsh_sql('spark', cached_view=textops.SH_SETS_VIEW)})")
     edges = pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
     nodes = spark.sql(
         f"WITH {textops.DUP_DOCS_CTE} SELECT doc_id AS id FROM dup_docs")

@@ -92,7 +92,26 @@ sh_sets AS (SELECT DISTINCT doc_id, sh FROM shingles)
 def shingles_cte(dialect: str) -> str:
     return SHINGLES_SPARK if dialect == "spark" else SHINGLES_CTE
 
-def minhash_lsh_sql(dialect: str) -> str:
+SH_SETS_VIEW = "sh_sets_cached"
+_sh_sets_cached: dict = {}
+
+
+def ensure_sh_sets_view(spark) -> None:
+    """Materialize the distinct (doc_id, shingle) set behind a cache
+    barrier. One minhash query references the shingle relation FOUR times
+    (minhash agg, sizes, both sides of the exact-verify join); with the
+    CTE inlined, Catalyst recomputes the explode + distinct per reference.
+    The cached InMemoryRelation computes it once per session — the same
+    role a materialized shingle table plays in a production pipeline."""
+    key = spark.sparkContext.applicationId
+    if key not in _sh_sets_cached:
+        _sh_sets_cached[key] = spark.sql(
+            f"WITH {DUP_DOCS_CTE}, {SHINGLES_SPARK} "
+            "SELECT doc_id, sh FROM sh_sets").cache()
+    _sh_sets_cached[key].createOrReplaceTempView(SH_SETS_VIEW)
+
+
+def minhash_lsh_sql(dialect: str, cached_view: str | None = None) -> str:
     """Full MinHash->LSH->verify pipeline; dialect in {spark, duck}.
 
     All 16 permutation minimums are computed in ONE pass over the raw
@@ -101,9 +120,17 @@ def minhash_lsh_sql(dialect: str) -> str:
     out — where the cross-join-with-permutations form pushed 16x the
     shingle volume through TWO aggregations ((doc_id, p), then banding).
     Band keys are then pure projections; Spark emits the 4 band rows
-    map-side via posexplode, the DuckDB oracle via UNION ALL."""
-    shingle_with = (f"{DUP_DOCS_CTE}, {SHINGLES_SPARK}" if dialect == "spark"
-                    else f"{DUP_DOCS_CTE}, {WORDS_DUCK}, {SHINGLES_CTE}")
+    map-side via posexplode, the DuckDB oracle via UNION ALL.
+    ``cached_view`` (engine side): read shingles from a pre-materialized
+    view (ensure_sh_sets_view) instead of re-deriving them per reference."""
+    if cached_view:
+        shingle_with = (
+            f"shingles AS (SELECT * FROM {cached_view}), "
+            f"sh_sets AS (SELECT * FROM {cached_view})")
+    elif dialect == "spark":
+        shingle_with = f"{DUP_DOCS_CTE}, {SHINGLES_SPARK}"
+    else:
+        shingle_with = f"{DUP_DOCS_CTE}, {WORDS_DUCK}, {SHINGLES_CTE}"
     mins = ", ".join(f"MIN(md5('{p}|' || sh)) AS mh{p}" for p in range(16))
     bkeys = [" || ".join(f"mh{4 * b + r}" for r in range(4)) for b in range(4)]
     if dialect == "spark":
