@@ -3422,3 +3422,62 @@ def q_asof_join(spark, sf_dir):
     at-or-before its timestamp per key. Union-tag + running
     last-non-null window; one shuffle, no Python."""
     return spark.sql(_ASOF_SPARK)
+
+
+# --- explicit hot-cell salting (north rule: salting/AQE for skewed cells) ----
+# The pages fixture clusters 30% of coordinates into 20 hot cities, so a
+# handful of z10 tiles carry most rows. This query computes per-tile
+# counts AND the exact distinct-language set size through skew.salted_agg:
+# the hot tile's set-building spreads over 16 salt buckets, and the merge
+# aggregation unions 16 small sets per tile instead of streaming every hot
+# row through one reducer. The oracle is the plain single-stage SQL — the
+# salted plan must be a pure refactoring of the same answer.
+
+_SALTED_TILES_ORACLE = f"""
+WITH {EXTRACT_CTE},
+good AS (
+  SELECT url, lang, lat, lon FROM extracted
+  WHERE lat IS NOT NULL AND ABS(lat) <= 85.06 AND ABS(lon) <= 180.0
+),
+tiles AS (
+  SELECT lang, url,
+         CAST(floor((lon + 180.0) / 360.0 * 1024.0) AS BIGINT) AS tx,
+         CAST(floor((1.0 - ln(tan(pi()/4.0 + radians(lat)/2.0)) / pi()) / 2.0 * 1024.0) AS BIGINT) AS ty
+  FROM good
+)
+SELECT tx, ty, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM tiles
+GROUP BY tx, ty
+"""
+
+
+@q("salted_tile_stats", _SALTED_TILES_ORACLE)
+def q_salted_tile_stats(spark, sf_dir):
+    """Per-tile counts + exact distinct-language counts over the skewed
+    (hot-city) tiles via explicit two-stage salting (proj_spark/skew.py).
+    Same answer as the single-stage oracle, but no reducer ever holds a
+    hot tile's full row stream or language set."""
+    from pyspark.sql import functions as F
+
+    from . import skew
+
+    cte = pagesgen.ensure_pages_view(spark, sf_dir)
+    tiles = spark.sql(f"""
+      WITH {cte},{EXTRACT_BODY},
+      good AS (
+        SELECT url, lang, lat, lon FROM extracted
+        WHERE lat IS NOT NULL AND ABS(lat) <= 85.06 AND ABS(lon) <= 180.0)
+      SELECT lang, url,
+             CAST(floor((lon + 180.0D) / 360.0D * 1024.0D) AS BIGINT) AS tx,
+             CAST(floor((1.0D - ln(tan(pi()/4.0D + radians(lat)/2.0D)) / pi()) / 2.0D * 1024.0D) AS BIGINT) AS ty
+      FROM good""")
+    out = skew.salted_agg(
+        tiles, keys=["tx", "ty"], salt_col="url", salt_mod=16,
+        partial_aggs=[F.count("*").alias("pn"),
+                      F.collect_set("lang").alias("pl")],
+        final_aggs=[F.sum("pn").alias("n_docs"),
+                    F.size(F.array_distinct(F.flatten(
+                        F.collect_list("pl")))).cast("long").alias("n_langs")])
+    return out.select("tx", "ty", F.col("n_docs").cast("long").alias("n_docs"),
+                      "n_langs")

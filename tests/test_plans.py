@@ -176,3 +176,14 @@ def test_within_radius_join_is_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_two_stage(spark):
+    """Explicit salting must produce two aggregation exchanges — one on
+    (keys, salt), one on keys — with deterministic (xxhash64) salt, never
+    rand()."""
+    df = querylib.QUERIES["salted_tile_stats"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange") >= 2
+    assert "xxhash64" in plan
+    assert "rand(" not in plan
