@@ -12,6 +12,8 @@ A deterministic mix of coordinate embeddings:
                               hot cities (exercises skew/salting)
   - doc_id % 10 in (3,4,5) -> ICBM meta tag, uniform coordinates
   - doc_id % 10 == 6       -> plain "location: lat, lon" text
+  - doc_id % 10 == 7       -> DMS text 48d51'24"N 2d21'3"E (reference
+                              src/dmstor.cpp grammar: 'd' degree marker)
   - else                   -> no coordinates
 """
 
@@ -40,7 +42,13 @@ _PAGE_COORDS_SELECT = f"""SELECT doc_id, text AS body, lang,
          {_fixed(_LAT_I, 'ulat')},
          {_fixed(_LON_I, 'ulon')},
          {_fixed(_CLAT_I, 'clat')},
-         {_fixed(_CLON_I, 'clon')}
+         {_fixed(_CLON_I, 'clon')},
+         CAST((doc_id * 7) % 90 AS BIGINT) AS latd,
+         CAST((doc_id * 11) % 60 AS BIGINT) AS latm,
+         CAST((doc_id * 13) % 60 AS BIGINT) AS lats,
+         CAST((doc_id * 17) % 180 AS BIGINT) AS lond,
+         CAST((doc_id * 19) % 60 AS BIGINT) AS lonm,
+         CAST((doc_id * 23) % 60 AS BIGINT) AS lons
   FROM documents"""
 
 # crawl epoch: seconds since 1970, spanning calendar year 2024
@@ -53,6 +61,11 @@ _PAGE_TEXT_SELECT = """SELECT doc_id, lang,
            WHEN doc_id % 10 < 3 THEN ' <meta name="geo.position" content="' || clat || ';' || clon || '">'
            WHEN doc_id % 10 < 6 THEN ' <meta name="ICBM" content="' || ulat || ', ' || ulon || '">'
            WHEN doc_id % 10 = 6 THEN ' location: ' || ulat || ', ' || ulon
+           WHEN doc_id % 10 = 7 THEN ' position: '
+             || latd || 'd' || latm || '''' || lats || '"'
+             || (CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END) || ' '
+             || lond || 'd' || lonm || '''' || lons || '"'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END)
            ELSE '' END) AS text
   FROM {src}"""
 
@@ -122,13 +135,31 @@ pair_match AS (
              THEN regexp_extract(text, 'ICBM" content="(-?[0-9.]+, -?[0-9.]+)"', 1)
            WHEN text LIKE '%location: %'
              THEN regexp_extract(text, 'location: (-?[0-9.]+, -?[0-9.]+)', 1)
+           WHEN text LIKE '%position: %'
+             THEN regexp_extract(text, 'position: ([0-9]+d[0-9]+''[0-9]+"[NS] [0-9]+d[0-9]+''[0-9]+"[EW])', 1)
            END AS pair
   FROM pages
 ),
 extracted AS (
   SELECT url, lang, warc_ts,
-         CAST(regexp_extract(pair, '(-?[0-9]+[.][0-9]+)[;, ]+(-?[0-9]+[.][0-9]+)', 1) AS DOUBLE) AS lat,
-         CAST(regexp_extract(pair, '(-?[0-9]+[.][0-9]+)[;, ]+(-?[0-9]+[.][0-9]+)', 2) AS DOUBLE) AS lon
+         CASE WHEN pair LIKE '%"N %' OR pair LIKE '%"S %' THEN
+           (CAST(regexp_extract(pair, '([0-9]+)d([0-9]+)''([0-9]+)"([NS])', 1) AS DOUBLE)
+            + CAST(regexp_extract(pair, '([0-9]+)d([0-9]+)''([0-9]+)"([NS])', 2) AS DOUBLE) / 60.0
+            + CAST(regexp_extract(pair, '([0-9]+)d([0-9]+)''([0-9]+)"([NS])', 3) AS DOUBLE) / 3600.0)
+           * (CASE WHEN regexp_extract(pair, '([0-9]+)d([0-9]+)''([0-9]+)"([NS])', 4) = 'S'
+                   THEN -1.0 ELSE 1.0 END)
+         ELSE
+           CAST(regexp_extract(pair, '(-?[0-9]+[.][0-9]+)[;, ]+(-?[0-9]+[.][0-9]+)', 1) AS DOUBLE)
+         END AS lat,
+         CASE WHEN pair LIKE '%"N %' OR pair LIKE '%"S %' THEN
+           (CAST(regexp_extract(pair, '([0-9]+)d([0-9]+)''([0-9]+)"([EW])', 1) AS DOUBLE)
+            + CAST(regexp_extract(pair, '([0-9]+)d([0-9]+)''([0-9]+)"([EW])', 2) AS DOUBLE) / 60.0
+            + CAST(regexp_extract(pair, '([0-9]+)d([0-9]+)''([0-9]+)"([EW])', 3) AS DOUBLE) / 3600.0)
+           * (CASE WHEN regexp_extract(pair, '([0-9]+)d([0-9]+)''([0-9]+)"([EW])', 4) = 'W'
+                   THEN -1.0 ELSE 1.0 END)
+         ELSE
+           CAST(regexp_extract(pair, '(-?[0-9]+[.][0-9]+)[;, ]+(-?[0-9]+[.][0-9]+)', 2) AS DOUBLE)
+         END AS lon
   FROM pair_match
 )
 """
