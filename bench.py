@@ -188,6 +188,16 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = False)
         "n_pages": n_pages,
     }
     spark.stop()
+    # Durable artifact first (round-3 post-mortem: Spark console progress
+    # flooded the driver's stdout tail and truncated the one-line JSON, so
+    # BENCH_r03.json recorded "parsed": null). Console progress is now off
+    # (session.py) AND the full result always lands in BENCH/last_run.json.
+    try:
+        dest = Path(__file__).resolve().parent / "BENCH" / "last_run.json"
+        dest.parent.mkdir(exist_ok=True)
+        dest.write_text(json.dumps(out, indent=2) + "\n")
+    except OSError:
+        pass
     if not quiet:
         print(json.dumps(out))
     return out

@@ -3230,13 +3230,22 @@ ch_points AS (
 
 
 def _ch1903_rec() -> dict:
-    from .crs import transform_candidates
-    cands = transform_candidates(4149, 4326)
-    if not cands:  # registry data missing: the query will raise at run
+    """Registry lookup for the CH1903 query. MUST NOT raise: it runs at
+    module import (the oracle string is built at decoration time), and a
+    regenerated registry that ranks a different candidate first would
+    otherwise brick every query in the module. Any anomaly -> {} here;
+    q_ch1903_registry_shift asserts the expected row at run time."""
+    try:
+        from .crs import transform_candidates
+        cands = transform_candidates(4149, 4326)
+        if not cands:
+            return {}
+        rec, inv = cands[0]["legs"][0]
+        if rec.get("code") != 1753 or inv:
+            return {}
+        return rec
+    except Exception:
         return {}
-    rec, inv = cands[0]["legs"][0]
-    assert rec["code"] == 1753 and not inv
-    return rec
 
 
 _CH_REC = _ch1903_rec()
@@ -3284,6 +3293,9 @@ def q_ch1903_registry_shift(spark, sf_dir):
     the oracle stays closed-form."""
     from pyspark.sql import functions as F
     rec = _CH_REC
+    assert rec and rec.get("code") == 1753, (
+        "EPSG registry no longer ranks transformation 1753 first for "
+        "4149->4326 (or epsg_xforms.json.gz is missing/mutated)")
     helm = create(
         f"+proj=helmert +x={rec['x']} +y={rec['y']} +z={rec['z']} "
         f"+rx={rec['rx']} +ry={rec['ry']} +rz={rec['rz']} +s={rec['s']} "

@@ -32,6 +32,9 @@ def get_spark(app_name: str = "proj_spark", cpus: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # progress bars flood stdout and truncated the one-line bench JSON
+        # in the round-3 driver capture (VERDICT r3 "what's wrong" #2)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
