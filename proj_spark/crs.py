@@ -627,6 +627,9 @@ def registry_datum_pipeline(src_code: int, dst_code: int,
     return Pipeline(steps)
 
 
+N_MAX_RETRY = 2  # reference 4D_api.cpp:421 (constexpr int N_MAX_RETRY = 2)
+
+
 class CrsToCrsDispatcher:
     """Per-coordinate alternative-operation dispatch between two geodetic
     EPSG CRS (the engine's pj_get_suggested_operation): candidates come
@@ -634,11 +637,23 @@ class CrsToCrsDispatcher:
     batch point routes through the FIRST candidate whose area of use
     contains it; points outside every extent fall back to the
     best-ranked candidate with a world/unknown extent, else the best
-    candidate overall (reference default-operation retry,
-    4D_api.cpp:436-530). Grid candidates whose files don't resolve are
-    dropped at construction (grid-free fallback)."""
+    candidate overall. When a selected candidate FAILS for a point (its
+    grid's actual cells miss it even though its bbox contained it — the
+    reference's own example is long=-111.5 lat=45.26 inside the Canadian
+    ntv2_0.gsb bbox but in no subgrid, 4D_api.cpp:430-434), that
+    candidate is excluded for that point and selection re-runs, up to
+    N_MAX_RETRY exclusions, then the first grid-free candidate is used
+    (reference retry loop + grids-free fallback, 4D_api.cpp:436-530).
+    Grid candidates whose files don't resolve are dropped at
+    construction.
 
-    def __init__(self, src: str, dst: str, limit: int = 24):
+    ``only_codes`` restricts (and re-ranks, in the given order) the
+    candidate set by leading EPSG code — the analogue of the reference's
+    candidate sets shrinking when grids are not installed
+    (skipNonInstantiable in pj_get_suggested_operation)."""
+
+    def __init__(self, src: str, dst: str, limit: int = 24,
+                 only_codes: list[int] | None = None):
         import numpy as np  # noqa: F401
         self.src_code = int(str(src).upper().replace("EPSG:", ""))
         self.dst_code = int(str(dst).upper().replace("EPSG:", ""))
@@ -651,6 +666,10 @@ class CrsToCrsDispatcher:
             except (KeyError, ValueError):
                 continue  # unresolvable grid / unsupported method: skip
             self.candidates.append({**cand, "pipe": pipe})
+        if only_codes is not None:
+            by_code = {c["codes"][0]: c for c in self.candidates}
+            self.candidates = [by_code[k] for k in only_codes
+                               if k in by_code]
         if not self.candidates:
             raise KeyError(f"no registry transformation for "
                            f"EPSG:{self.src_code} -> EPSG:{self.dst_code}")
@@ -659,35 +678,41 @@ class CrsToCrsDispatcher:
             (i for i, c in enumerate(self.candidates)
              if c["bbox"] is None or _bbox_area(c["bbox"]) > 300 * 120),
             0)
+        # grids-free fallback (4D_api.cpp:495-530): first candidate none
+        # of whose legs needs a grid file; None if every candidate does
+        self.gridfree = next(
+            (i for i, c in enumerate(self.candidates)
+             if all(rec["kind"] != "grid" for rec, _ in c["legs"])),
+            None)
+
+    def _select(self, lon, lat, excluded=None):
+        """First containing extent per point, skipping per-point excluded
+        candidate indices; -1 where no candidate contains the point."""
+        import numpy as np
+        out = np.full(np.broadcast(lon, lat).shape, -1, dtype=np.int64)
+        for i, c in enumerate(self.candidates):
+            m = (out < 0) & bbox_contains(c["bbox"], lon, lat)
+            if excluded is not None:
+                m &= ~(excluded == i).any(axis=1)
+            out[m] = i
+        return out
 
     def select(self, lon_deg, lat_deg):
         """Candidate index per point (first containing extent)."""
         import numpy as np
         lon = np.asarray(lon_deg, dtype=np.float64)
         lat = np.asarray(lat_deg, dtype=np.float64)
-        out = np.full(np.broadcast(lon, lat).shape, -1, dtype=np.int64)
-        for i, c in enumerate(self.candidates):
-            m = (out < 0) & bbox_contains(c["bbox"], lon, lat)
-            out[m] = i
+        out = self._select(lon, lat)
         out[out < 0] = self.fallback
         return out
 
-    def apply(self, direction, lon_deg, lat_deg, z=None, t=None):
-        """Geodetic degrees in -> geodetic degrees out, routed per point.
-        Returns (lon, lat, z, t, candidate_epsg_code)."""
+    def _run(self, direction, sel, mask, lon, lat, z, t,
+             ox, oy, oz, code):
+        """Apply each selected candidate's pipeline to its masked points."""
         import numpy as np
-        lon = np.asarray(lon_deg, dtype=np.float64)
-        lat = np.asarray(lat_deg, dtype=np.float64)
-        z = np.zeros_like(lon) if z is None else np.asarray(z, np.float64)
-        t = np.zeros_like(lon) if t is None else np.asarray(t, np.float64)
-        sel = self.select(lon, lat)
-        ox = np.empty_like(lon)
-        oy = np.empty_like(lat)
-        oz = np.empty_like(z)
-        code = np.empty(lon.shape, dtype=np.int64)
         d2r = 3.141592653589793 / 180.0
-        for i in np.unique(sel):
-            m = sel == i
+        for i in np.unique(sel[mask]):
+            m = mask & (sel == i)
             c = self.candidates[i]
             gx, gy, gz, _ = c["pipe"].apply(direction, lon[m] * d2r,
                                             lat[m] * d2r, z[m], t[m])
@@ -695,4 +720,43 @@ class CrsToCrsDispatcher:
             oy[m] = gy / d2r
             oz[m] = gz
             code[m] = c["codes"][0]
+
+    def apply(self, direction, lon_deg, lat_deg, z=None, t=None):
+        """Geodetic degrees in -> geodetic degrees out, routed per point
+        with failed-candidate exclusion retries (4D_api.cpp:436-493).
+        Returns (lon, lat, z, t, candidate_epsg_code); code -1 and NaN
+        output for points no candidate could transform."""
+        import numpy as np
+        lon = np.asarray(lon_deg, dtype=np.float64)
+        lat = np.asarray(lat_deg, dtype=np.float64)
+        z = np.zeros_like(lon) if z is None else np.asarray(z, np.float64)
+        t = np.zeros_like(lon) if t is None else np.asarray(t, np.float64)
+        ox = np.full_like(lon, np.nan)
+        oy = np.full_like(lat, np.nan)
+        oz = np.full_like(z, np.nan)
+        code = np.full(lon.shape, -1, dtype=np.int64)
+        in_ok = np.isfinite(lon) & np.isfinite(lat)
+        pending = in_ok.copy()
+        excluded = np.full(lon.shape + (N_MAX_RETRY,), -1, dtype=np.int64)
+        for retry in range(N_MAX_RETRY + 1):
+            sel = self._select(lon, lat, excluded)
+            if retry == 0:
+                # points outside every extent: world/best candidate
+                sel[pending & (sel < 0)] = self.fallback
+            act = pending & (sel >= 0)
+            if not act.any():
+                break
+            self._run(direction, sel, act, lon, lat, z, t, ox, oy, oz, code)
+            failed = act & ~np.isfinite(ox)
+            code[failed] = -1
+            pending = failed | (pending & ~act)
+            if not failed.any() or retry == N_MAX_RETRY:
+                break
+            excluded[failed, retry] = sel[failed]
+        if pending.any() and self.gridfree is not None:
+            # grids-free fallback (4D_api.cpp:495-530)
+            sel = np.full(lon.shape, self.gridfree, dtype=np.int64)
+            self._run(direction, sel, pending, lon, lat, z, t,
+                      ox, oy, oz, code)
+        # poison passthrough: NaN in -> NaN out, code -1, no exception
         return ox, oy, oz, t, code

@@ -2675,6 +2675,136 @@ def q_ed50_regional_dispatch(spark, sf_dir):
 
 
 # ===========================================================================
+# Dispatch retry-on-failure parity (r3 VERDICT item 3; 4D_api.cpp:436-530)
+# ===========================================================================
+# The reference's own motivating example (4D_api.cpp:430-434): a point at
+# long=-111.5 lat=45.26 falls inside the Canadian NTv2_0.gsb operation's
+# area of use but inside NO subgrid (it is in the US); the engine must
+# EXCLUDE the failed candidate and re-select (up to N_MAX_RETRY=2), landing
+# on the conus NADCON operation. For NAD27 -> WGS84 the registry ranks
+# EPSG:1693 (NTv2_0.gsb, acc 2 m, all of Canada) above EPSG:15851
+# (conus.las, acc 5 m), so the retry arises from the TRUE ranking. The
+# candidate set is pinned to those two codes so the query is deterministic
+# whatever other grid files happen to resolve in the host environment.
+# Outputs are micro-degree BIGINTs (the dispatcher's radian-domain pipeline
+# wobbles the 15th digit vs the oracle's degree-domain bilinear — quantize
+# both; the routing signal `code` is exact).
+
+_NTV2_GSB = os.path.join(_REF_TESTS, "ntv2_0_downsampled.gsb")
+
+if os.path.isfile(_NTV2_GSB) and "_CONUS" in globals():
+    from .gridfiles import parse_ntv2 as _parse_ntv2_rt
+    from .gridfiles import register_grid_file as _register_rt
+
+    _register_rt("ntv2_0.gsb", _NTV2_GSB)
+    # CAwest is the only ntv2 subgrid overlapping the point window below
+    # (the tiny ALberta/ONtario child grids sit outside it)
+    _CAWEST = next(
+        g for g in _parse_ntv2_rt(open(_NTV2_GSB, "rb").read(),
+                                  "ntv2_0.gsb").grids
+        if g.name.endswith("CAwest"))
+    _CAWEST_NODES = os.path.join(_TESTGRID_DIR, "ntv2_cawest_nodes.parquet")
+
+    # lon in [-110, -96.01], lat in [40, 57.99], 0.01-deg steps: >= 4e-3 deg
+    # clear of the CAwest south edge (47.3941...), so engine eps-insets and
+    # the oracle's exact comparison classify identically
+    RETRY_PTS_CTE = """
+rpts AS (
+  SELECT p_partkey AS pid,
+         -110.0 + CAST((p_partkey * 2654435761) % 1400 AS DOUBLE) / 100.0 AS lon,
+         40.0 + CAST((p_partkey * 2246822519) % 1800 AS DOUBLE) / 100.0 AS lat
+  FROM part
+)
+"""
+
+    def _retry_branch_sql(g, nodes_path: str, code: int, where: str) -> str:
+        """Bilinear replay of one routed branch (FileGrid.interp order)."""
+        fx = f"((lon - ({C(g.lon0)})) / {C(g.dlon)})"
+        fy = f"((lat - ({C(g.lat0)})) / {C(g.dlat)})"
+        gp = f"read_parquet('{nodes_path}')"
+        num_lon = ("((((g00.dlon_as * w00) + (g10.dlon_as * w10))"
+                   " + (g01.dlon_as * w01)) + (g11.dlon_as * w11))")
+        num_lat = ("((((g00.dlat_as * w00) + (g10.dlat_as * w10))"
+                   " + (g01.dlat_as * w01)) + (g11.dlat_as * w11))")
+        den = "((((w00) + (w10)) + (w01)) + (w11))"
+        return f"""
+SELECT pid, {code} AS code,
+       CAST(ROUND((lon + ({num_lon} / {den}) / 3600.0) * 1000000.0, 0)
+            AS BIGINT) AS lon_e6,
+       CAST(ROUND((lat + ({num_lat} / {den}) / 3600.0) * 1000000.0, 0)
+            AS BIGINT) AS lat_e6
+FROM (
+  SELECT *, (1.0 - wx) * (1.0 - wy) AS w00, wx * (1.0 - wy) AS w10,
+         (1.0 - wx) * wy AS w01, wx * wy AS w11
+  FROM (
+    SELECT pid, lon, lat,
+           CAST(floor({fx}) AS BIGINT) AS c0,
+           CAST(floor({fy}) AS BIGINT) AS r0,
+           {fx} - floor({fx}) AS wx,
+           {fy} - floor({fy}) AS wy
+    FROM rpts WHERE {where}
+  ) a
+) b
+JOIN {gp} g00 ON g00.r = r0 AND g00.c = c0
+JOIN {gp} g10 ON g10.r = r0 AND g10.c = c0 + 1
+JOIN {gp} g01 ON g01.r = r0 + 1 AND g01.c = c0
+JOIN {gp} g11 ON g11.r = r0 + 1 AND g11.c = c0 + 1
+"""
+
+    _CAW_IN = (f"lat >= {C(_CAWEST.lat0)} AND "
+               f"lat <= {C(_CAWEST.lat0 + _CAWEST.dlat * (_CAWEST.height - 1))}")
+
+    _NAD27_RETRY_DISP: list = []
+
+    def _nad27_retry_dispatcher():
+        if not _NAD27_RETRY_DISP:
+            from .crs import CrsToCrsDispatcher
+            _NAD27_RETRY_DISP.append(CrsToCrsDispatcher(
+                "EPSG:4267", "EPSG:4326", only_codes=[1693, 15851]))
+        return _NAD27_RETRY_DISP[0]
+
+    @q("nad27_dispatch_retry", f"""
+WITH {RETRY_PTS_CTE}
+{_retry_branch_sql(_CAWEST, _CAWEST_NODES, 1693, _CAW_IN)}
+UNION ALL
+{_retry_branch_sql(_CONUS, _CONUS_NODES, 15851, f"NOT ({_CAW_IN})")}
+""")
+    def q_nad27_dispatch_retry(spark, sf_dir):
+        """NAD27 -> WGS84 through the per-coordinate dispatcher WITH
+        retry-on-failure: every point first selects EPSG:1693 (NTv2,
+        best-accuracy containing extent); US points miss every subgrid,
+        get excluded, and re-select EPSG:15851 (conus) — the reference's
+        retry loop (4D_api.cpp:436-493). The oracle routes declaratively
+        (a point retries iff it is outside the CAwest subgrid's true
+        extent) and replays each winner's bilinear from node parquet."""
+        from pyspark.sql import functions as F
+        _export_grid_parquet(_CAWEST, _CAWEST_NODES,
+                             {"dlon_as": _CAWEST.dlon_as,
+                              "dlat_as": _CAWEST.dlat_as})
+        _export_grid_parquet(_CONUS, _CONUS_NODES,
+                             {"dlon_as": _CONUS.dlon_as,
+                              "dlat_as": _CONUS.dlat_as})
+        d = _nad27_retry_dispatcher()
+        df = _sql_points(spark, RETRY_PTS_CTE, "rpts")
+
+        @F.pandas_udf("struct<code:long, lon_out:double, lat_out:double>")
+        def route(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+            lo = lon.to_numpy(np.float64)
+            la = lat.to_numpy(np.float64)
+            ox, oy, _, _, code = d.apply("forward", lo, la)
+            return pd.DataFrame({"code": code, "lon_out": ox,
+                                 "lat_out": oy})
+
+        df = df.withColumn("_r", route("lon", "lat"))
+        return df.select(
+            "pid", F.col("_r.code").alias("code"),
+            F.round(F.col("_r.lon_out") * 1e6, 0).cast("long")
+            .alias("lon_e6"),
+            F.round(F.col("_r.lat_out") * 1e6, 0).cast("long")
+            .alias("lat_e6"))
+
+
+# ===========================================================================
 # Real-file tinshift (KKJ -> ETRS-TM35FIN simplified TIN) — driver-certified
 # ===========================================================================
 # The triangulation is the reference's own test fixture

