@@ -305,6 +305,94 @@ def crs_is_geographic(crs: str) -> bool:
     return steps[0].get("proj") in _GEOGRAPHIC_PROJS
 
 
+# ---------------------------------------------------------------------------
+# Compound / vertical CRS planning (r3 VERDICT item 2)
+# ---------------------------------------------------------------------------
+
+# Vertical CRS whose ellipsoidal conversion is a geoid-undulation
+# vgridshift (reference coordinateoperationfactory.cpp
+# createOperationsCompoundCRS / the EPSG "geographic3D to GravityRelated
+# Height" method 9665): EPSG vertical code -> candidate geoid grid names,
+# first resolvable wins (reference proj.db grid_alternatives: the CDN
+# .tif first, then the legacy .gtx the test tree ships downsampled).
+VERTICAL_CRS: dict[int, tuple[str, list[str]]] = {
+    5773: ("EGM96 height", ["us_nga_egm96_15.tif", "egm96_15.gtx",
+                            "egm96_15_downsampled.gtx"]),
+    5798: ("EGM84 height", ["us_nga_egm84_30.tif", "egm84_30.gtx"]),
+    3855: ("EGM2008 height", ["us_nga_egm08_25.tif", "egm08_25.gtx"]),
+    5703: ("NAVD88 height", ["us_noaa_g2018u0.tif", "g2018u0.gtx"]),
+}
+
+# 3D geographic CRS -> their 2D horizontal subset (reference
+# demoteTo2D); a 3D code on either side of a compound plan keeps
+# ellipsoidal height as the third coordinate.
+_GEOG3D_TO_2D = {4979: 4326, 4957: 4269, 4937: 4258, 7912: 9057}
+
+
+def _split_compound(s: str) -> tuple[int, int] | None:
+    """'EPSG:hhhh+vvvv' (proj_create_crs_to_crs compound syntax) ->
+    (horizontal_code, vertical_code); None when not compound."""
+    m = re.fullmatch(r"(?i)\s*EPSG:(\d+)\s*\+\s*(\d+)\s*", str(s))
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def _vertical_leg(vcode: int):
+    """vgridshift operator for a gravity-related vertical CRS: forward is
+    orthometric -> ellipsoidal (z + N, the EPSG 9665 direction — the
+    generated reference pipeline is `+proj=vgridshift +grids=...
+    +multiplier=1`)."""
+    from .gridfiles import load_grid_file
+    name, grids = VERTICAL_CRS[vcode]  # KeyError: unsupported vertical CRS
+    for g in grids:
+        try:
+            load_grid_file(g)
+        except (KeyError, FileNotFoundError, OSError):
+            continue
+        return create_operator({"proj": "vgridshift", "grids": g,
+                                "multiplier": 1.0})
+    raise KeyError(f"no geoid grid resolvable for EPSG:{vcode} ({name}); "
+                   f"tried {grids}")
+
+
+def _compound_crs_pipeline(sc, dc, src: str, dst: str,
+                           use_registry: bool) -> Pipeline:
+    """Compound (horizontal + gravity-related vertical) <-> 3D planning
+    (reference coordinateoperationfactory.cpp compound-CRS handling,
+    test/unit/test_operationfactory.cpp compoundCRS_to_geogCRS_3D):
+
+        [src geoid fwd: H + N -> h_ell]  (at source geographic position)
+        -> horizontal plan src_h -> dst_h (create_crs_to_crs)
+        -> [dst geoid inv: h_ell -> H]
+
+    A non-compound side must be a geodetic EPSG code; a 3D geographic
+    code (e.g. 4979) is demoted to its 2D horizontal for the middle leg
+    and keeps ellipsoidal height."""
+    def _side(code_pair, plain):
+        if code_pair is not None:
+            return code_pair
+        n = normalize_crs_def(str(plain))
+        if not n.upper().startswith("EPSG:"):
+            raise ValueError("compound planning needs EPSG codes on both "
+                             f"sides, got {plain!r}")
+        return int(n.split(":")[1]), None
+
+    s_h, s_v = _side(sc, src)
+    d_h, d_v = _side(dc, dst)
+    s_h = _GEOG3D_TO_2D.get(s_h, s_h)
+    d_h = _GEOG3D_TO_2D.get(d_h, d_h)
+    steps: list[tuple] = []
+    if s_v is not None and s_v != d_v:
+        steps.append((_vertical_leg(s_v), "forward"))
+    if s_h != d_h:
+        steps.extend(create_crs_to_crs(f"EPSG:{s_h}", f"EPSG:{d_h}",
+                                       use_registry=use_registry).steps)
+    if d_v is not None and d_v != s_v:
+        steps.append((_vertical_leg(d_v), "inverse"))
+    if not steps:
+        steps.append((create_operator({"proj": "noop"}), "forward"))
+    return Pipeline(steps)
+
+
 def create_crs_to_crs(src: str, dst: str,
                       use_registry: bool = False) -> Pipeline:
     """Build the cs2cs-equivalent pipeline src CRS -> dst CRS.
@@ -326,7 +414,14 @@ def create_crs_to_crs(src: str, dst: str,
     Coordinates are (lon, lat) in degrees in, (x, y) CRS units out; the
     engine universally uses GIS (lon,lat) order (axis normalization the
     reference applies via proj_normalize_for_visualization).
+
+    Compound 'EPSG:hhhh+vvvv' on either side routes through the
+    vertical/compound planner (_compound_crs_pipeline): the vertical
+    member's geoid leg wraps the horizontal plan.
     """
+    sc, dc = _split_compound(src), _split_compound(dst)
+    if sc is not None or dc is not None:
+        return _compound_crs_pipeline(sc, dc, src, dst, use_registry)
     if use_registry:
         src_n = normalize_crs_def(src)
         dst_n = normalize_crs_def(dst)

@@ -1382,6 +1382,48 @@ FROM wcells
 
         return df.select("pid", zshift("lon", "lat", "h").alias("z_out"))
 
+    @q("compound_geoid_height", f"""
+WITH {DE_POINTS_CTE}, {_file_cell_cte(_EGM96)}
+SELECT pid,
+       h + {_file_bilinear_sql("dz")} AS z_ell,
+       (h + {_file_bilinear_sql("dz")}) - {_file_bilinear_sql("dz")} AS z_back
+FROM wcells
+{_corner_joins(_EGM96_NODES)}
+""")
+    def q_compound_geoid_height(spark, sf_dir):
+        """Vertical/compound CRS->CRS planning end-to-end (r3 VERDICT
+        item 2): create_crs_to_crs("EPSG:4326+5773", "EPSG:4979")
+        composes the geoid leg — orthometric H + EGM96 undulation N ->
+        ellipsoidal h (the reference's generated `+proj=vgridshift
+        +grids=us_nga_egm96_15.tif +multiplier=1` pipeline,
+        coordinateoperationfactory.cpp compound handling;
+        test/unit/test_operationfactory.cpp
+        compoundCRS_to_compoundCRS_WGS84_EGM96...). z_back roundtrips
+        through the inverse plan; the oracle replays bilinear N from node
+        parquet with the identical (h + N) - N fp-op order."""
+        from pyspark.sql import functions as F
+        from .crs import create_crs_to_crs
+        from .gridfiles import register_grid_file
+        _export_grid_parquet(_EGM96, _EGM96_NODES, {"dz": _EGM96.dz_m})
+        register_grid_file("egm96_15.gtx", _EGM96_GTX)
+        fwd = create_crs_to_crs("EPSG:4326+5773", "EPSG:4979")
+        df = _sql_points(spark, DE_POINTS_CTE, "depoints")
+        d2r = np.pi / 180.0
+
+        @F.pandas_udf("struct<z_ell:double, z_back:double>")
+        def plan(lon: pd.Series, lat: pd.Series, h: pd.Series) -> pd.DataFrame:
+            lo = lon.to_numpy(np.float64) * d2r
+            la = lat.to_numpy(np.float64) * d2r
+            hh = h.to_numpy(np.float64)
+            t = np.zeros_like(hh)
+            _, _, z_ell, _ = fwd.apply("forward", lo, la, hh, t)
+            _, _, z_back, _ = fwd.apply("inverse", lo, la, z_ell, t)
+            return pd.DataFrame({"z_ell": z_ell, "z_back": z_back})
+
+        df = df.withColumn("_p", plan("lon", "lat", "h"))
+        return df.select("pid", F.col("_p.z_ell").alias("z_ell"),
+                         F.col("_p.z_back").alias("z_back"))
+
 
 # ===========================================================================
 # Training-data text ops (MinHash LSH, SimHash, fingerprints, lang-id)
