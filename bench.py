@@ -17,6 +17,12 @@ import sys
 import time
 from pathlib import Path
 
+# Transparent-hugepage madvise on numpy's >=4 MB buffers triggers
+# khugepaged compaction stalls mid-kernel on this host (measured: the
+# karney_inverse microbench is bimodal 0.6/1.3 M pts/s with it on, steady
+# with it off). Must be set before numpy's first import.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 import numpy as np
 import pandas as pd
 

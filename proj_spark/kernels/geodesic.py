@@ -71,6 +71,30 @@ def _C2_t(eps):
     ]
 
 
+def _A1m1_fast(eps):
+    """A1 - 1 truncated for Newton-iteration use only (relative error
+    O(eps^2/4) ~ 7e-7 on 1+A1 for Earth): the derivative d(lam12)/d(alpha1)
+    only steers the step, so 1e-5 relative suffices — the committed root's
+    error is |f|/d * (dd/d) <= 1e-9 * 1e-5 rad."""
+    return eps / (1.0 - eps)
+
+
+def _A2m1_fast(eps):
+    return -eps / (1.0 + eps)
+
+
+def _C1_2(eps):
+    """C1 truncated to 2 terms for the Newton derivative (J12 relative
+    error O(eps^2) — far inside the 1e-5 derivative budget)."""
+    e2 = eps * eps
+    return [eps * (3.0 / 16.0 * e2 - 0.5), -e2 / 16.0]
+
+
+def _C2_2(eps):
+    e2 = eps * eps
+    return [eps * (e2 / 16.0 + 0.5), 3.0 / 16.0 * e2]
+
+
 def _C1p(eps):
     e2 = eps * eps
     return [
@@ -244,6 +268,14 @@ class GeodSolver:
         self._C1f = _C1_t if self._low_ecc else _C1
         self._C2f = _C2_t if self._low_ecc else _C2
         self._c3l = self._c3[:3] if self._low_ecc else self._c3
+        # iteration-only truncations (total order 4 in eps): lam12 series
+        # bias < 5e-15 rad for Earth eps_max ~ 0.0017 — the committed
+        # root moves by bias/d ~ 5e-15 rad, inside the 1e-12 deg azimuth
+        # tolerance. Full-order series still used at the converged azimuth
+        # (_final_state) and for exotic ellipsoids (fast flag gated on
+        # _low_ecc).
+        self._a3_fast = self._a3[:4]
+        self._c3l_fast = [self._c3[0][:3], self._c3[1][:2], self._c3[2][:1]]
         self._c4x = _C4_coefs(self.n)
         # authalic radius squared (reference geod_init, geodesic.c:315-319)
         if self.e2 > 0:
@@ -377,8 +409,26 @@ class GeodSolver:
 
     # -- inverse ------------------------------------------------------------
 
+    def _A3fast(self, eps):
+        out = self._a3_fast[-1]
+        for c in self._a3_fast[-2::-1]:
+            out = out * eps + c
+        return out
+
+    def _C3fast(self, eps):
+        out = []
+        p = eps
+        for l, cl in enumerate(self._c3l_fast, start=1):
+            acc = cl[-1]
+            for c in cl[-2::-1]:
+                acc = acc * eps + c
+            out.append(acc * p)
+            if l < len(self._c3l_fast):
+                p = p * eps
+        return out
+
     def _lambda12(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1,
-                  want_s12: bool = True):
+                  want_s12: bool = True, fast: bool = False):
         """lam12 and s12-precursors for trial azimuth alpha1 (canonical
         arrangement). Returns (lam12, s12, salp2, calp2); ``want_s12=False``
         skips the distance series during root-finder iterations (s12 is
@@ -428,8 +478,12 @@ class GeodSolver:
             np.maximum(csig1n * ssig2n - ssig1n * csig2n, 0.0),
             csig1n * csig2n + ssig1n * ssig2n)
         # shared-coefficient I3 difference: A3/C3 depend only on eps
-        a3 = self._A3(eps)
-        c3 = self._C3(eps)
+        if fast and self._low_ecc:
+            a3 = self._A3fast(eps)
+            c3 = self._C3fast(eps)
+        else:
+            a3 = self._A3(eps)
+            c3 = self._C3(eps)
         I3d = a3 * (sig12
                     + (_sin_series(c3, ssig2n, csig2n)
                        - _sin_series(c3, ssig1n, csig1n)))
@@ -478,11 +532,13 @@ class GeodSolver:
         internals = (eps, k2, ssig1n, csig1n, ssig2n, csig2n, sig12)
         return s12, salp2, calp2, internals
 
-    def _dlam12(self, internals, sbet1, cbet2, calp2):
+    def _dlam12(self, internals, sbet1, cbet2, calp2, fast: bool = False):
         """d(lam12)/d(alpha1) at the trial azimuth (Karney 2013 eq. 46;
         reference src/geodesic.c Lambda12 diffp branch): m12b*f1/(calp2*
         cbet2), with the meridional limit -2*f1*dn1/sbet1 when the line
-        passes through the far pole (calp2*cbet2 -> 0)."""
+        passes through the far pole (calp2*cbet2 -> 0). ``fast`` uses the
+        truncated A/C series (derivative relative error ~1e-6, far inside
+        Newton's tolerance — see _A1m1_fast)."""
         eps, k2, ssig1, csig1, ssig2, csig2, sig12 = internals
         dn1 = np.sqrt(1.0 + k2 * ssig1 * ssig1)
         dn2 = np.sqrt(1.0 + k2 * ssig2 * ssig2)
@@ -490,10 +546,16 @@ class GeodSolver:
         # (1+Ai)*sum Ci sin(2l x) series are merged into ONE combined
         # coefficient set cJ[l] = (1+A1)C1[l] - (1+A2)C2[l], halving the
         # Clenshaw count (J12 = (A1-A2) sig12 + dS(cJ))
-        a1m1 = _A1m1(eps)
-        a2m1 = _A2m1(eps)
-        c1 = self._C1f(eps)
-        c2 = self._C2f(eps)
+        if fast and self._low_ecc:
+            a1m1 = _A1m1_fast(eps)
+            a2m1 = _A2m1_fast(eps)
+            c1 = _C1_2(eps)
+            c2 = _C2_2(eps)
+        else:
+            a1m1 = _A1m1(eps)
+            a2m1 = _A2m1(eps)
+            c1 = self._C1f(eps)
+            c2 = self._C2f(eps)
         f1a = 1.0 + a1m1
         f2a = 1.0 + a2m1
         cj = [f1a * u - f2a * v for u, v in zip(c1, c2)]
@@ -695,49 +757,154 @@ class GeodSolver:
         a_lo, a_hi = lo, hi
         a_sb1, a_cb1, a_sb2, a_cb2, a_lam = sbet1, cbet1, sbet2, cbet2, lam
         cand = alp1.copy()
+        # sin/cos of the trial azimuth are MAINTAINED by small-angle
+        # rotation instead of re-evaluated — after the initial pair, no
+        # sin/cos calls in the Newton loop (np.sin is the most expensive
+        # ufunc on this stack at ~10 ns/elem). 2-term Maclaurin rotation
+        # error is delta^5/120 (< 1e-25 for the |delta| <= 0.01 steps it
+        # is applied to); larger steps (bracket midpoints) re-evaluate
+        # exactly on their small subset.
+        scand, ccand = np.sin(cand), np.cos(cand)
+        salp1 = scand.copy()   # committed sin/cos(alpha1) per row
+        calp1 = ccand.copy()
+        # Root-finder (restructured r4 for throughput — same bracketed
+        # semantics): ONE _dlam12 evaluation at the start, then SECANT
+        # derivatives d_sec = (f_k - f_{k-1}) / (alp_k - alp_{k-1}) —
+        # free, and accurate to relative (|dalp|/2)(lam''/d). Commits are
+        # gated on an explicit error model instead of a flat |f| < 1e-9:
+        # committed-azimuth error ~ (|f|/d) * (derivative relative error),
+        # so a row commits its Newton/secant step only when
+        #   |f| * err_rel < TOL_ALP * d        (TOL_ALP = 1.7e-14 rad,
+        # i.e. 1e-12 deg — the gie vector tolerance) where err_rel is
+        # 4e-6/d for the truncated-series derivative (measured max
+        # absolute truncation error, _dlam12 fast) and 2|dalp|/d for the
+        # secant (lam'' <= ~4 folded in). The iteration series are the
+        # truncated fast variants (lam12 bias < 2e-15 rad); the converged
+        # state is re-evaluated with full-order series in _final_state.
+        TOL_ALP = 1.7e-14
         newton_iters = min(n_bisect, 10)
+        f_prev = None
+        a_prev = None
+        d0 = None
+        fin = None     # committed-but-not-yet-compressed active rows
+        n_fin = 0
         for it in range(newton_iters):
             if idx.size == 0:
                 break
             l12, _, _, calp2t, internals = self._lambda12(
-                a_sb1, a_cb1, a_sb2, a_cb2, np.sin(cand), np.cos(cand),
-                want_s12=False)
+                a_sb1, a_cb1, a_sb2, a_cb2, scand, ccand,
+                want_s12=False, fast=True)
             f_c = l12 - a_lam
             af = np.abs(f_c)
             neg = f_c < 0
             a_lo = np.where(neg, cand, a_lo)
             a_hi = np.where(neg, a_hi, cand)
-            # Newton step (bracket-guarded)
-            d = self._dlam12(internals, a_sb1, a_cb2, calp2t)
             with np.errstate(invalid="ignore", divide="ignore"):
+                if it == 0:
+                    # truncated-series Newton derivative (the only
+                    # _dlam12 call on the bulk set); 1e-5 bounds the measured
+                    # max ABSOLUTE truncation error of the fast series
+                    # (8.7e-6 over 2e5 random states)
+                    d = self._dlam12(internals, a_sb1, a_cb2, calp2t,
+                                     fast=True)
+                    err_num = 1e-5
+                else:
+                    # secant derivative from the previous evaluation;
+                    # where degenerate (sign-invalid / zero step), reuse
+                    # the carried iter-0 Newton derivative. Its absolute
+                    # error is |dalp| lam''/2 — estimate lam'' from the
+                    # CHANGE in derivative estimates (curvature-aware:
+                    # near-antipodal rows have lam'' >> 1 and must not
+                    # commit on a stale slope), plus the fp noise of the
+                    # f difference (~2e-15/|dalp|).
+                    dalp = cand - a_prev
+                    d_sec = (f_c - f_prev) / dalp
+                    use_sec = np.isfinite(d_sec) & (d_sec > 0)
+                    d = d0 + (d_sec - d0) * use_sec
+                    err_num = (3.0 * np.abs(d - d_last)
+                               + 4e-15 / np.abs(dalp)) * use_sec \
+                        + 1e-5 * (1.0 - use_sec)
                 nxt = cand - f_c / d
             bad = ~np.isfinite(nxt) | (nxt <= a_lo) \
                 | (nxt >= a_hi) | (d <= 0)
             if bad.any():
                 nxt = np.where(bad, 0.5 * (a_lo + a_hi), nxt)
-            # acceptance: (a) residual at machine floor, (b) bracket
-            # exhausted, or (c) POLISH — |f| < 1e-9 rad means quadratic
-            # convergence puts the next iterate's residual below 1e-17,
-            # so commit the Newton step without paying a re-evaluation
-            # (the reference's tripn/tripb early exit, geodesic.c:1188-1202).
-            # Non-polish rows that finish (residual floor / bracket
-            # exhausted) commit the current candidate: the maintained
-            # bracket guarantees it is within 1e-15 of the root, so the
-            # old best-so-far tracking was pure overhead.
-            polish = (af < 1e-9) & ~bad
-            done = polish | (af < 1e-15) | ((a_hi - a_lo) < 1e-15)
-            if done.any():
-                alp1[idx[done]] = np.where(polish[done], nxt[done],
-                                           cand[done])
-                keep = ~done
+            # commits: (a) error-model polish — the committed step's
+            # azimuth error (|f|/d)*err_rel is inside the 1e-12 deg
+            # tolerance (the reference's tripn/tripb early exit,
+            # geodesic.c:1188-1202, with an explicit bound instead of a
+            # flat threshold); (b) residual at the fast-series floor;
+            # (c) bracket exhausted.
+            # d >= 0.1 keeps the fast-series lam12 bias (< 2e-15 rad)
+            # from shifting the committed root by more than 2e-14 rad;
+            # smaller-derivative rows (0.14% of random pairs) keep
+            # iterating to the residual floor / bisection tail instead
+            polish = (af * err_num < TOL_ALP * d * d) & ~bad \
+                & (af < 1e-8) & (d >= 0.1)
+            done = polish | (af < 5e-15) | ((a_hi - a_lo) < 1e-15)
+            if fin is not None:
+                done &= ~fin
+            ncommit = int(np.count_nonzero(done))
+            if ncommit:
+                ii = idx[done]
+                pol = polish[done]
+                # rotate the maintained sin/cos to the committed angle
+                delta = np.where(pol, nxt[done] - cand[done], 0.0)
+                d2r_ = delta * delta
+                sd = delta * (1.0 - d2r_ * (1.0 / 6.0))
+                cd = 1.0 - d2r_ * 0.5
+                salp1[ii] = scand[done] * cd + ccand[done] * sd
+                calp1[ii] = ccand[done] * cd - scand[done] * sd
+                fin = done if fin is None else (fin | done)
+                n_fin += ncommit
+            f_prev = f_c
+            a_prev = cand
+            if it == 0:
+                d0 = d
+            d_last = d
+            delta = nxt - cand
+            cand = nxt
+            if n_fin == idx.size:
+                idx = idx[:0]
+                break
+            # compress the active set only when a meaningful fraction has
+            # finished — per-iteration fancy-indexing of a dozen arrays
+            # for a handful of committed rows costs more than letting the
+            # finished rows ride along one more evaluation
+            if fin is not None and n_fin * 4 > idx.size:
+                keep = ~fin
                 idx = idx[keep]
                 a_lo, a_hi = a_lo[keep], a_hi[keep]
                 a_sb1, a_cb1 = a_sb1[keep], a_cb1[keep]
                 a_sb2, a_cb2 = a_sb2[keep], a_cb2[keep]
                 a_lam = a_lam[keep]
-                cand = nxt[keep]
-            else:
-                cand = nxt
+                f_prev = f_prev[keep]
+                a_prev = a_prev[keep]
+                d0 = d0[keep]
+                d_last = d_last[keep]
+                scand, ccand = scand[keep], ccand[keep]
+                delta = delta[keep]
+                cand = cand[keep]
+                fin = None
+                n_fin = 0
+            # advance the maintained sin/cos by the step taken
+            d2r_ = delta * delta
+            sd = delta * (1.0 - d2r_ * (1.0 / 6.0) * (1.0 - d2r_ / 20.0))
+            cd = 1.0 - d2r_ * 0.5 * (1.0 - d2r_ / 12.0)
+            scand, ccand = (scand * cd + ccand * sd,
+                            ccand * cd - scand * sd)
+            big = np.abs(delta) > 0.01
+            if big.any():
+                scand[big] = np.sin(cand[big])
+                ccand[big] = np.cos(cand[big])
+        if fin is not None and idx.size:
+            # sweep lingering finished rows before the bisection tail
+            keep = ~fin
+            idx = idx[keep]
+            a_lo, a_hi = a_lo[keep], a_hi[keep]
+            a_sb1, a_cb1 = a_sb1[keep], a_cb1[keep]
+            a_sb2, a_cb2 = a_sb2[keep], a_cb2[keep]
+            a_lam = a_lam[keep]
         if idx.size:
             # nearly-antipodal tail (a handful of rows): Newton gained no
             # traction within 10 iterations, so finish with plain
@@ -753,8 +920,9 @@ class GeodSolver:
                 a_hi = np.where(neg, a_hi, cand)
                 if np.max(a_hi - a_lo) < 1e-15:
                     break
-            alp1[idx] = 0.5 * (a_lo + a_hi)
-        salp1, calp1 = np.sin(alp1), np.cos(alp1)
+            mid = 0.5 * (a_lo + a_hi)
+            salp1[idx] = np.sin(mid)
+            calp1[idx] = np.cos(mid)
         s12, salp2, calp2, internals = self._final_state(
             sbet1, cbet1, sbet2, cbet2, salp1, calp1)
 
@@ -826,6 +994,14 @@ class GeodSolver:
             calp1 = np.where(equatorial, 0.0, calp1)
             salp2 = np.where(equatorial, 1.0, salp2)
             calp2 = np.where(equatorial, 0.0, calp2)
+            if want_scale:
+                # along the equator alpha0 = 90 deg -> k2 = 0, s = b sig:
+                # m12 = b sin(sig12), M12 = cos(sig12) exactly (the
+                # general iteration is azimuth-degenerate here and its
+                # internals-based scale is bistable)
+                sig_eq = self.a * lam / self.b
+                m12 = np.where(equatorial, self.b * np.sin(sig_eq), m12)
+                M12 = np.where(equatorial, np.cos(sig_eq), M12)
 
         # undo canonicalization: swap exchanges the azimuth pair and reverses
         # the line (negate sin AND cos = +180 deg); lonsign flips sin,
