@@ -3384,6 +3384,98 @@ def q_hex_tile_counts(spark, sf_dir):
     return spark.sql(_HEX_SQL)
 
 
+# --- Aperture-7 hierarchical hex ids (H3-style parent/child) -----------------
+# hex_tile_counts bins one flat resolution; this adds the H3 hierarchy
+# (VERDICT r3 #8): an index-7 sublattice of the axial hex lattice
+# (Eisenstein u = 2+tau, norm 7 — Gibson & Lucas' Generalized Balanced
+# Ternary; the same aperture-7 tree as h3lib coordijk.c _upAp7), giving
+# every finest-level cell an exact 7-ary ancestry: parent =
+# cube_round((3q+r)/7, (2r-q)/7), child digit = z - u*parent, one of 7.
+# Each level scales the hex by sqrt(7) and rotates atan(sqrt(3)/5) ~
+# 19.106deg — exactly H3's inter-resolution rotation. Ids pack the path
+# (base cell, digit1, digit2) into a BIGINT with 3-bit digits, so
+# parent_id = cell_id DIV 8, H3-truncation-style. All integer/1-ulp-safe
+# arithmetic after the quantized mercator step -> DuckDB oracles it
+# bit-exactly. Library form: proj_spark/hexgrid.py (numpy, projection-
+# agnostic — pair with kernels/dgg.py isea for the icosahedral variant).
+
+
+def _cube_round_sql(aq: str, ar: str) -> tuple[str, str]:
+    """SQL pair snapping fractional axial (aq, ar) to the containing hex
+    (cube rounding; same construction the hex_tile_counts CTEs inline)."""
+    ay = f"(-({aq}) - ({ar}))"
+    rq, ry, rr = f"ROUND({aq})", f"ROUND({ay})", f"ROUND({ar})"
+    dq, dy, dr = (f"ABS({rq} - ({aq}))", f"ABS({ry} - {ay})",
+                  f"ABS({rr} - ({ar}))")
+    fix_q = f"({dq} > {dy} AND {dq} > {dr})"
+    hq = f"(CASE WHEN {fix_q} THEN -{ry} - {rr} ELSE {rq} END)"
+    hr = (f"(CASE WHEN NOT {fix_q} AND {dr} > {dy} "
+          f"THEN -{rq} - {ry} ELSE {rr} END)")
+    return hq, hr
+
+
+def _hex_digit_sql(cq: str, cr: str, pq: str, pr: str) -> str:
+    """SQL for the aperture-7 child digit (0..6) of (cq,cr) under (pq,pr):
+    index of z_child - u*z_parent in hexgrid.DIGITS."""
+    dq = f"({cq} - (2.0*{pq} - {pr}))"
+    dr = f"({cr} - ({pq} + 3.0*{pr}))"
+    from .hexgrid import DIGITS
+    whens = " ".join(
+        f"WHEN {dq} = {float(a)!r} AND {dr} = {float(b)!r} THEN {i}"
+        for i, (a, b) in enumerate(DIGITS))
+    return f"(CASE {whens} END)"
+
+
+_HP2Q, _HP2R = _cube_round_sql("aq", "ar")
+_HP1Q, _HP1R = _cube_round_sql("(3.0*hq2 + hr2)/7.0", "(2.0*hr2 - hq2)/7.0")
+_HP0Q, _HP0R = _cube_round_sql("(3.0*hq1 + hr1)/7.0", "(2.0*hr1 - hq1)/7.0")
+
+_HEXP_SQL = f"""
+WITH {POINTS_CTE},
+mercator AS (
+  SELECT pid,
+         6378137.0 * radians(lon) AS mx,
+         6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)) AS my
+  FROM points
+  WHERE ABS(lat) <= 85.06
+),
+axial AS (
+  -- 1e-6 hex-unit quantization: same ulp guard as hex_tile_counts
+  SELECT pid,
+         ROUND((sqrt(3.0) / 3.0 * mx - my / 3.0) / 100000.0, 6) AS aq,
+         ROUND((my * 2.0 / 3.0) / 100000.0, 6) AS ar
+  FROM mercator
+),
+lvl2 AS (SELECT pid, {_HP2Q} AS hq2, {_HP2R} AS hr2 FROM axial),
+lvl1 AS (SELECT pid, hq2, hr2, {_HP1Q} AS hq1, {_HP1R} AS hr1 FROM lvl2),
+lvl0 AS (SELECT pid, hq2, hr2, hq1, hr1, {_HP0Q} AS hq0, {_HP0R} AS hr0
+         FROM lvl1),
+cells AS (
+  SELECT CAST(hq0 AS BIGINT) AS hq0, CAST(hr0 AS BIGINT) AS hr0,
+         CAST({_hex_digit_sql('hq1', 'hr1', 'hq0', 'hr0')} AS BIGINT) AS d1,
+         CAST({_hex_digit_sql('hq2', 'hr2', 'hq1', 'hr1')} AS BIGINT) AS d2
+  FROM lvl0
+)
+SELECT ((hq0 + 4096) * 8192 + (hr0 + 4096)) AS base_id,
+       ((hq0 + 4096) * 8192 + (hr0 + 4096)) * 8 + d1 AS parent_id,
+       (((hq0 + 4096) * 8192 + (hr0 + 4096)) * 8 + d1) * 8 + d2 AS cell_id,
+       COUNT(*) AS n_pts
+FROM cells
+GROUP BY 1, 2, 3
+"""
+
+
+@q("hex_parent_counts", _HEXP_SQL)
+def q_hex_parent_counts(spark, sf_dir):
+    """Hierarchical hex rollup: points -> 100 km hexes (level 2) -> exact
+    aperture-7 parent (level 1, ~sqrt(7)x coarser, rotated 19.1deg) ->
+    grandparent base cell (level 0), counts per level-2 cell with
+    drilldown-ready packed ids (parent_id == cell_id DIV 8). One pass of
+    whole-stage-codegen arithmetic + one hash aggregation; at 100 TB the
+    only shuffle is the final partial-agg exchange on cell_id."""
+    return spark.sql(_HEXP_SQL)
+
+
 # --- CH1903 -> WGS84 from the transformation registry ------------------------
 # The best registry candidate for 4149->4326 is EPSG:1753, whose rotations
 # are stored in CENTESIMAL SECONDS (EPSG UOM 9113) in the published SQL —
