@@ -92,7 +92,8 @@ def _unit_matrix(cents) -> np.ndarray:
 def ivf_topk(spark, emb: DataFrame, cents, k: int = 5,
              nprobe: int = 2, query_mod: int = 50,
              vec_col: str = "embedding",
-             sim_round: int | None = None) -> DataFrame:
+             sim_round: int | None = None,
+             query_cap: int = 51200) -> DataFrame:
     """IVF top-k: centroids broadcast as a numpy matrix -> nearest-centroid
     bucket per vector computed MAP-SIDE (vectorized pandas UDF: one matmul
     per Arrow batch, no shuffle, bucket carried with v/norm so no join-back)
@@ -123,7 +124,12 @@ def ivf_topk(spark, emb: DataFrame, cents, k: int = 5,
     e = _normalized(emb, vec_col)
     eb = e.withColumn("cid", assign_cid("v"))   # narrow: no exchange
 
-    qs = (e.filter(F.col("vec_id") % query_mod == 0)
+    # fixed query budget (vec_id < query_cap): the workload is "a bounded
+    # query batch against a growing corpus", so total cost stays LINEAR in
+    # corpus size — the sf0.1->sf1 suite run showed the uncapped variant
+    # (query count ~ N/50) going quadratic (BENCH/SF1.md)
+    qs = (e.filter((F.col("vec_id") % query_mod == 0)
+                   & (F.col("vec_id") < query_cap))
            .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                    F.col("norm").alias("qnorm")))
     qprobe = qs.withColumn("cid", F.explode(probe_cids("qv")))
@@ -144,11 +150,14 @@ def ivf_topk(spark, emb: DataFrame, cents, k: int = 5,
 
 
 def brute_topk(spark, emb: DataFrame, k: int = 5, query_mod: int = 50,
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               query_cap: int = 51200) -> DataFrame:
     """Exact cosine top-k (recall ground truth): broadcast the small query
-    side over the full table."""
+    side over the full table. Query batch bounded by `query_cap` (see
+    ivf_topk) so the scan stays one linear pass over the corpus."""
     e = _normalized(emb, vec_col)
-    qs = (e.filter(F.col("vec_id") % query_mod == 0)
+    qs = (e.filter((F.col("vec_id") % query_mod == 0)
+                   & (F.col("vec_id") < query_cap))
            .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                    F.col("norm").alias("qnorm")))
     cand = (e.crossJoin(F.broadcast(qs))

@@ -730,13 +730,21 @@ def q_events_hourly(spark, sf_dir):
 
 
 # --- ANN: brute-force cosine top-5 (oracle-checked baseline) ------------------
+# Query set: vec_id % 50 = 0 AND vec_id < 51200 — a FIXED query budget
+# (<= 1024 qids however large the corpus). The sf0.1 -> sf1 suite run
+# (BENCH/SF1.md) showed the uncapped batch (count ~ N/50) turning every ANN
+# query quadratic in corpus size (31-52x wall growth for 10x data); with the
+# cap, brute force is one linear scan per batch and IVF is sub-linear. At
+# sf <= 0.1 (max vec_id 1999) the cap never binds, so correctness-gate and
+# round-over-round bench numbers are unchanged.
 
 @q("ann_cosine_top5", """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e
+       WHERE vec_id % 50 = 0 AND vec_id < 51200),
 pairs AS (
   SELECT qs.qid, e.vec_id AS nid,
          ROUND(list_cosine_similarity(qs.qv, e.v), 9) AS sim
@@ -760,7 +768,7 @@ def q_ann_cosine_top5(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     e = e.withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
-    qs = (e.filter(F.col("vec_id") % 50 == 0)
+    qs = (e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 51200))
             .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                     F.col("norm").alias("qnorm")))
     # broadcast the small query side; candidates stream (scale path: the big
@@ -1794,7 +1802,8 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 0),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id % 37 = 0 AND vec_id < 9472),
 assign AS (
   SELECT e.vec_id, cid,
          row_number() OVER (PARTITION BY e.vec_id
@@ -1802,7 +1811,8 @@ assign AS (
   FROM e, cents
 ),
 buckets AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
-qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e
+       WHERE vec_id % 50 = 0 AND vec_id < 51200),
 qprobe AS (
   SELECT qid, cid FROM (
     SELECT qs.qid, cid,
@@ -1839,7 +1849,10 @@ def q_ann_ivf_top5(spark, sf_dir):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     e = e.withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
-    cents = (e.filter(F.col("vec_id") % 37 == 0)
+    # bounded nlist (<= 256 centroids): with centroid count ~ N/37 the
+    # assignment step alone is O(N^2/37) — the sf1 run's 52x blowup
+    # (BENCH/SF1.md); a fixed nlist keeps assignment one linear pass
+    cents = (e.filter((F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 9472))
               .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
                       F.col("norm").alias("cnorm")))
 
@@ -1857,7 +1870,7 @@ def q_ann_ivf_top5(spark, sf_dir):
     buckets = (asg.withColumn("rn", F.row_number().over(w_a))
                   .filter("rn = 1").select("vec_id", "cid"))
 
-    qs = (e.filter(F.col("vec_id") % 50 == 0)
+    qs = (e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 51200))
            .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                    F.col("norm").alias("qnorm")))
     qp = qs.join(F.broadcast(cents))
@@ -1888,7 +1901,8 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e
+       WHERE vec_id % 50 = 0 AND vec_id < 51200),
 pairs AS (
   SELECT qs.qid, e.vec_id AS nid,
          ROUND(list_cosine_similarity(qs.qv, e.v), 9) AS sim
