@@ -178,6 +178,21 @@ def _sin_series(coefs, sinx, cosx):
     return 2.0 * sinx * cosx * y0  # sin(2x) * y0
 
 
+def _sin_series_diff(coefs, sinx2, cosx2, sinx1, cosx1):
+    """B(x2) - B(x1) for B = sum coefs[l-1] sin(2 l x): both Clenshaw
+    recurrences advanced in one python loop (halves list traversal and
+    interpreter dispatch on the hot Newton path; identical arithmetic to
+    two _sin_series calls, so bit-identical results)."""
+    ar2 = 2.0 * (cosx2 - sinx2) * (cosx2 + sinx2)
+    ar1 = 2.0 * (cosx1 - sinx1) * (cosx1 + sinx1)
+    b1 = a1 = 0.0
+    b0 = a0 = coefs[-1]
+    for c in coefs[-2::-1]:
+        b1, b0 = b0, ar2 * b0 - b1 + c
+        a1, a0 = a0, ar1 * a0 - a1 + c
+    return 2.0 * sinx2 * cosx2 * b0 - 2.0 * sinx1 * cosx1 * a0
+
+
 def _cos_series(coefs, sinx, cosx):
     """sum coefs[l] * cos((2l+1) x) via Clenshaw (reference geodesic.c
     SinCosSeries with sinp=FALSE)."""
@@ -451,14 +466,17 @@ class GeodSolver:
         somg1 = salp0 * sbet1
         comg1 = csig1
 
-        # alpha2 from sin(alpha) cos(beta) = sin(alpha0)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            salp2 = np.where(cbet2 != cbet1, salp0 / cbet2, salp1)
-            calp2sq = (csig1 * csig1 +
-                       np.where(cbet1 < -sbet1,
-                                (cbet2 - cbet1) * (cbet1 + cbet2),
-                                (sbet1 - sbet2) * (sbet1 + sbet2)))
-            calp2 = np.sqrt(np.maximum(calp2sq, 0.0)) / cbet2
+        # alpha2 from sin(alpha) cos(beta) = sin(alpha0); errstate hoisted
+        # to _inverse_impl, selections are arithmetic blends (np.where is
+        # ~3x the cost of the sub+mul+add blend; equal-cbet rows take the
+        # exact salp1 through the zero-blend, matching the reference's
+        # roundoff guard)
+        salp2 = salp1 + (salp0 / cbet2 - salp1) * (cbet2 != cbet1)
+        cb = (sbet1 - sbet2) * (sbet1 + sbet2)
+        calp2sq = (csig1 * csig1 + cb
+                   + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb)
+                   * (cbet1 < -sbet1))
+        calp2 = np.sqrt(np.maximum(calp2sq, 0.0)) / cbet2
         ssig2 = sbet2
         csig2 = calp2 * cbet2
         nrm2 = np.sqrt(ssig2 * ssig2 + csig2 * csig2)
@@ -485,14 +503,15 @@ class GeodSolver:
             a3 = self._A3(eps)
             c3 = self._C3(eps)
         I3d = a3 * (sig12
-                    + (_sin_series(c3, ssig2n, csig2n)
-                       - _sin_series(c3, ssig1n, csig1n)))
+                    + _sin_series_diff(c3, ssig2n, csig2n,
+                                       ssig1n, csig1n))
         lam12 = omg12 - self.f * salp0 * I3d
         if want_s12:
             c1 = self._C1f(eps)
             s12 = (1.0 + _A1m1(eps)) * (sig12
-                                        + (_sin_series(c1, ssig2n, csig2n)
-                                           - _sin_series(c1, ssig1n, csig1n))) * self.b
+                                        + _sin_series_diff(
+                                            c1, ssig2n, csig2n,
+                                            ssig1n, csig1n)) * self.b
         else:
             s12 = None
         internals = (eps, k2, ssig1n, csig1n, ssig2n, csig2n, sig12)
@@ -510,13 +529,12 @@ class GeodSolver:
         csig1 = calp1 * cbet1
         nrm = np.sqrt(ssig1 * ssig1 + csig1 * csig1)
         ssig1n, csig1n = ssig1 / nrm, csig1 / nrm
-        with np.errstate(invalid="ignore", divide="ignore"):
-            salp2 = np.where(cbet2 != cbet1, salp0 / cbet2, salp1)
-            calp2sq = (csig1 * csig1 +
-                       np.where(cbet1 < -sbet1,
-                                (cbet2 - cbet1) * (cbet1 + cbet2),
-                                (sbet1 - sbet2) * (sbet1 + sbet2)))
-            calp2 = np.sqrt(np.maximum(calp2sq, 0.0)) / cbet2
+        salp2 = salp1 + (salp0 / cbet2 - salp1) * (cbet2 != cbet1)
+        cb = (sbet1 - sbet2) * (sbet1 + sbet2)
+        calp2sq = (csig1 * csig1 + cb
+                   + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb)
+                   * (cbet1 < -sbet1))
+        calp2 = np.sqrt(np.maximum(calp2sq, 0.0)) / cbet2
         ssig2 = sbet2
         csig2 = calp2 * cbet2
         nrm2 = np.sqrt(ssig2 * ssig2 + csig2 * csig2)
@@ -527,8 +545,9 @@ class GeodSolver:
             csig1n * csig2n + ssig1n * ssig2n)
         c1 = self._C1f(eps)
         s12 = (1.0 + _A1m1(eps)) * (sig12
-                                    + (_sin_series(c1, ssig2n, csig2n)
-                                       - _sin_series(c1, ssig1n, csig1n))) * self.b
+                                    + _sin_series_diff(
+                                        c1, ssig2n, csig2n,
+                                        ssig1n, csig1n)) * self.b
         internals = (eps, k2, ssig1n, csig1n, ssig2n, csig2n, sig12)
         return s12, salp2, calp2, internals
 
@@ -560,18 +579,16 @@ class GeodSolver:
         f2a = 1.0 + a2m1
         cj = [f1a * u - f2a * v for u, v in zip(c1, c2)]
         J12 = ((a1m1 - a2m1) * sig12
-               + (_sin_series(cj, ssig2, csig2)
-                  - _sin_series(cj, ssig1, csig1)))
+               + _sin_series_diff(cj, ssig2, csig2, ssig1, csig1))
         m12 = self.b * (dn2 * (csig1 * ssig2) - dn1 * (ssig1 * csig2)
                         - csig1 * csig2 * J12)
         denom = calp2 * cbet2
-        with np.errstate(invalid="ignore", divide="ignore"):
-            d = (m12 / self.b) * self.f1 / denom
-            merid = np.abs(denom) < 1e-14
-            d = np.where(merid,
-                         -2.0 * self.f1 * dn1 / np.where(sbet1 != 0.0,
-                                                         sbet1, -1.0),
-                         d)
+        d = (m12 / self.b) * self.f1 / denom
+        merid = np.abs(denom) < 1e-14
+        if merid.any():
+            # exact -1 where sbet1 == 0 (bool subtraction), else sbet1
+            sb = sbet1 - (sbet1 == 0.0)
+            d = np.where(merid, -2.0 * self.f1 * dn1 / sb, d)
         return d
 
     def inverse(self, lon1, lat1, lon2, lat2, n_bisect: int = 52,
@@ -648,6 +665,20 @@ class GeodSolver:
 
     def _inverse_impl(self, lon1, lat1, lon2, lat2, n_bisect: int = 52,
                       want_scale: bool = False, want_area: bool = False):
+        # ONE errstate save/restore for the whole solve: the body and its
+        # helpers (_lambda12/_dlam12/_final_state/_area_s12, only called
+        # from here) divide by guarded-but-possibly-zero quantities in a
+        # dozen places; entering np.errstate per call site costed ~4% of
+        # the inverse kernel (4,600 seterr calls per 2M points)
+        old_err = np.seterr(invalid="ignore", divide="ignore")
+        try:
+            return self._inverse_body(lon1, lat1, lon2, lat2, n_bisect,
+                                      want_scale, want_area)
+        finally:
+            np.seterr(**old_err)
+
+    def _inverse_body(self, lon1, lat1, lon2, lat2, n_bisect: int = 52,
+                      want_scale: bool = False, want_area: bool = False):
         scalar_in = np.ndim(lon1) == 0 and np.ndim(lat1) == 0 \
             and np.ndim(lon2) == 0 and np.ndim(lat2) == 0
         lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
@@ -692,8 +723,8 @@ class GeodSolver:
         sbet2 = sbet2 * (np.abs(sbet2) >= 1e-12)
         coincident = (sbet1 == sbet2) & (cbet1 == cbet2) & (lam == 0.0)
         # enforce |bet2| <= |bet1| exactly (roundoff guard)
-        sbet2 = np.where(np.abs(sbet2) > np.abs(sbet1) * (1 - 1e-15),
-                         np.sign(sbet2 + 0.0) * np.abs(sbet1), sbet2)
+        snap2 = np.abs(sbet2) > np.abs(sbet1) * (1 - 1e-15)
+        sbet2 = sbet2 + (np.sign(sbet2 + 0.0) * np.abs(sbet1) - sbet2) * snap2
 
         # equatorial shortcut: both on equator and lam12 <= (1-f)*pi
         equatorial = (sbet1 == 0) & (sbet2 == 0) & (lam <= self.f1 * np.pi)
@@ -730,28 +761,27 @@ class GeodSolver:
         # the series tail dropped, domg = f sin(alp0) A3(eps) sig12
         # (relative error O(eps) on an O(f) term -> start error O(f^2)),
         # puts the bulk of rows inside the polish window one eval earlier.
-        with np.errstate(invalid="ignore", divide="ignore"):
-            csig12g = sbet1 * sbet2 + cbet1 * cbet2 * comg12
-            ssig12g = np.sqrt(np.maximum(1.0 - csig12g * csig12g, 1e-24))
-            salp0g = np.clip(cbet1 * cbet2 * somg12 / ssig12g, -1.0, 1.0)
-            epsg, _ = self._eps(1.0 - salp0g * salp0g)
-            domg = (self.f * salp0g * self._A3(epsg)
-                    * np.arctan2(ssig12g, csig12g)) * (1.0 - shortline)
-            # rotate (somg12, comg12) by the small domg via its Maclaurin
-            # sin/cos (|domg| <= f*pi ~ 0.01: error < 1e-15)
-            d2 = domg * domg
-            sd = domg * (1.0 - d2 * (1.0 / 6.0 - d2 / 120.0))
-            cd = 1.0 - d2 * (0.5 - d2 / 24.0)
-            somg12, comg12 = (somg12 * cd + comg12 * sd,
-                              comg12 * cd - somg12 * sd)
-            guess = np.arctan2(
-                cbet2 * somg12,
-                np.where(comg12 >= 0.0,
-                         sbet12 + cbet2 * sbet1 * somg12 * somg12
-                         / (1.0 + comg12),
-                         (sbet2 * cbet1 + cbet2 * sbet1)
-                         - cbet2 * sbet1 * somg12 * somg12
-                         / (1.0 - comg12)))
+        csig12g = sbet1 * sbet2 + cbet1 * cbet2 * comg12
+        ssig12g = np.sqrt(np.maximum(1.0 - csig12g * csig12g, 1e-24))
+        salp0g = np.clip(cbet1 * cbet2 * somg12 / ssig12g, -1.0, 1.0)
+        epsg, _ = self._eps(1.0 - salp0g * salp0g)
+        domg = (self.f * salp0g * self._A3(epsg)
+                * np.arctan2(ssig12g, csig12g)) * (1.0 - shortline)
+        # rotate (somg12, comg12) by the small domg via its Maclaurin
+        # sin/cos (|domg| <= f*pi ~ 0.01: error < 1e-15)
+        d2 = domg * domg
+        sd = domg * (1.0 - d2 * (1.0 / 6.0 - d2 / 120.0))
+        cd = 1.0 - d2 * (0.5 - d2 / 24.0)
+        somg12, comg12 = (somg12 * cd + comg12 * sd,
+                          comg12 * cd - somg12 * sd)
+        guess = np.arctan2(
+            cbet2 * somg12,
+            np.where(comg12 >= 0.0,
+                     sbet12 + cbet2 * sbet1 * somg12 * somg12
+                     / (1.0 + comg12),
+                     (sbet2 * cbet1 + cbet2 * sbet1)
+                     - cbet2 * sbet1 * somg12 * somg12
+                     / (1.0 - comg12)))
         alp1 = np.clip(guess, lo, hi)
         idx = np.arange(n_pts)
         a_lo, a_hi = lo, hi
@@ -797,34 +827,35 @@ class GeodSolver:
             f_c = l12 - a_lam
             af = np.abs(f_c)
             neg = f_c < 0
-            a_lo = np.where(neg, cand, a_lo)
-            a_hi = np.where(neg, a_hi, cand)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                if it == 0:
-                    # truncated-series Newton derivative (the only
-                    # _dlam12 call on the bulk set); 1e-5 bounds the measured
-                    # max ABSOLUTE truncation error of the fast series
-                    # (8.7e-6 over 2e5 random states)
-                    d = self._dlam12(internals, a_sb1, a_cb2, calp2t,
-                                     fast=True)
-                    err_num = 1e-5
-                else:
-                    # secant derivative from the previous evaluation;
-                    # where degenerate (sign-invalid / zero step), reuse
-                    # the carried iter-0 Newton derivative. Its absolute
-                    # error is |dalp| lam''/2 — estimate lam'' from the
-                    # CHANGE in derivative estimates (curvature-aware:
-                    # near-antipodal rows have lam'' >> 1 and must not
-                    # commit on a stale slope), plus the fp noise of the
-                    # f difference (~2e-15/|dalp|).
-                    dalp = cand - a_prev
-                    d_sec = (f_c - f_prev) / dalp
-                    use_sec = np.isfinite(d_sec) & (d_sec > 0)
-                    d = d0 + (d_sec - d0) * use_sec
-                    err_num = (3.0 * np.abs(d - d_last)
-                               + 4e-15 / np.abs(dalp)) * use_sec \
-                        + 1e-5 * (1.0 - use_sec)
-                nxt = cand - f_c / d
+            # bracket updates as blends (np.where costs ~3x): neg rows
+            # move lo to cand, others move hi to cand
+            a_lo = a_lo + (cand - a_lo) * neg
+            a_hi = cand + (a_hi - cand) * neg
+            if it == 0:
+                # truncated-series Newton derivative (the only
+                # _dlam12 call on the bulk set); 1e-5 bounds the measured
+                # max ABSOLUTE truncation error of the fast series
+                # (8.7e-6 over 2e5 random states)
+                d = self._dlam12(internals, a_sb1, a_cb2, calp2t,
+                                 fast=True)
+                err_num = 1e-5
+            else:
+                # secant derivative from the previous evaluation;
+                # where degenerate (sign-invalid / zero step), reuse
+                # the carried iter-0 Newton derivative. Its absolute
+                # error is |dalp| lam''/2 — estimate lam'' from the
+                # CHANGE in derivative estimates (curvature-aware:
+                # near-antipodal rows have lam'' >> 1 and must not
+                # commit on a stale slope), plus the fp noise of the
+                # f difference (~2e-15/|dalp|).
+                dalp = cand - a_prev
+                d_sec = (f_c - f_prev) / dalp
+                use_sec = np.isfinite(d_sec) & (d_sec > 0)
+                d = d0 + (d_sec - d0) * use_sec
+                err_num = (3.0 * np.abs(d - d_last)
+                           + 4e-15 / np.abs(dalp)) * use_sec \
+                    + 1e-5 * (1.0 - use_sec)
+            nxt = cand - f_c / d
             bad = ~np.isfinite(nxt) | (nxt <= a_lo) \
                 | (nxt >= a_hi) | (d <= 0)
             if bad.any():
@@ -838,25 +869,31 @@ class GeodSolver:
             # d >= 0.1 keeps the fast-series lam12 bias (< 2e-15 rad)
             # from shifting the committed root by more than 2e-14 rad;
             # smaller-derivative rows (0.14% of random pairs) keep
-            # iterating to the residual floor / bisection tail instead
-            polish = (af * err_num < TOL_ALP * d * d) & ~bad \
-                & (af < 1e-8) & (d >= 0.1)
-            done = polish | (af < 5e-15) | ((a_hi - a_lo) < 1e-15)
-            if fin is not None:
-                done &= ~fin
-            ncommit = int(np.count_nonzero(done))
-            if ncommit:
-                ii = idx[done]
-                pol = polish[done]
-                # rotate the maintained sin/cos to the committed angle
-                delta = np.where(pol, nxt[done] - cand[done], 0.0)
-                d2r_ = delta * delta
-                sd = delta * (1.0 - d2r_ * (1.0 / 6.0))
-                cd = 1.0 - d2r_ * 0.5
-                salp1[ii] = scand[done] * cd + ccand[done] * sd
-                calp1[ii] = ccand[done] * cd - scand[done] * sd
-                fin = done if fin is None else (fin | done)
-                n_fin += ncommit
+            # iterating to the residual floor / bisection tail instead.
+            # Skipped entirely at it 0: the polish gate needs af < 1e-8,
+            # which the O(f^2) starting guess essentially never satisfies
+            # — dropping the ~13 full-width commit-test passes on the
+            # first (always full-size) iteration is a measured ~3% win;
+            # any row that would have qualified simply commits at it 1.
+            if it > 0:
+                polish = (af * err_num < TOL_ALP * d * d) & ~bad \
+                    & (af < 1e-8) & (d >= 0.1)
+                done = polish | (af < 5e-15) | ((a_hi - a_lo) < 1e-15)
+                if fin is not None:
+                    done &= ~fin
+                ncommit = int(np.count_nonzero(done))
+                if ncommit:
+                    ii = idx[done]
+                    pol = polish[done]
+                    # rotate the maintained sin/cos to the committed angle
+                    delta = np.where(pol, nxt[done] - cand[done], 0.0)
+                    d2r_ = delta * delta
+                    sd = delta * (1.0 - d2r_ * (1.0 / 6.0))
+                    cd = 1.0 - d2r_ * 0.5
+                    salp1[ii] = scand[done] * cd + ccand[done] * sd
+                    calp1[ii] = ccand[done] * cd - scand[done] * sd
+                    fin = done if fin is None else (fin | done)
+                    n_fin += ncommit
             f_prev = f_c
             a_prev = cand
             if it == 0:
