@@ -3490,6 +3490,123 @@ def q_hex_parent_counts(spark, sf_dir):
     return spark.sql(_HEXP_SQL)
 
 
+# --- raster <-> vector round trip: rasterize + zonal statistics --------------
+# North-rule "raster<->vector tiling" both directions in one oracle-checked
+# query: (1) VECTOR->RASTER — bin the point cloud into a 1-degree density
+# grid (sparse: only non-empty cells materialize, the right shape at
+# 100 TB); (2) RASTER->VECTOR — zonal statistics of that raster over the
+# admin polygons (classic zonal_stats: per-zone cell count / sum / min /
+# max of the band value). Everything integer fixed-point: bin ids by exact
+# floor division, cell centers at +0.5 deg (never on a fixture vertex or
+# edge lattice), density values are BIGINT counts — both engines run
+# bit-identical predicates, so the DuckDB oracle is value-exact with no
+# rounding traps. Spark plan: one partial-agg shuffle (rasterize), then
+# the raster (<= 61200 rows however big the input) broadcast-joins the
+# polygon cell cover and refines in one Arrow UDF pass — points never
+# shuffle for the join, mirroring pip_pairs' audited shape.
+
+_ZONAL_RASTER_CTE = f"""
+{IPOINTS_CTE},
+rcell AS (
+  SELECT CAST(FLOOR(lon_i / 100000.0) AS BIGINT) AS cj,
+         CAST(FLOOR(lat_i / 100000.0) AS BIGINT) AS ci
+  FROM ipoints
+),
+raster AS (
+  SELECT ci, cj, COUNT(*) AS val,
+         cj * 100000 + 50000 AS lon_i,
+         ci * 100000 + 50000 AS lat_i
+  FROM rcell
+  GROUP BY ci, cj
+)
+"""
+
+_ZONAL_SQL = f"""
+WITH {_ZONAL_RASTER_CTE},
+edge_hits AS (
+  SELECT r.ci, r.cj, r.val, e.polygon_id,
+         SUM(CASE WHEN ((e.ey1 > r.lat_i) <> (e.ey2 > r.lat_i))
+                   AND (CASE WHEN e.ey2 > e.ey1
+                        THEN (r.lon_i - e.ex1)*(e.ey2 - e.ey1) < (e.ex2 - e.ex1)*(r.lat_i - e.ey1)
+                        ELSE (r.lon_i - e.ex1)*(e.ey2 - e.ey1) > (e.ex2 - e.ex1)*(r.lat_i - e.ey1)
+                        END)
+              THEN 1 ELSE 0 END) AS n_cross
+  FROM raster r
+  CROSS JOIN {geo_fixtures.edges_sql_values().replace("AS edges(", "AS e(")}
+  GROUP BY r.ci, r.cj, r.val, e.polygon_id
+)
+SELECT polygon_id,
+       COUNT(*) AS n_cells,
+       SUM(val) AS sum_density,
+       MIN(val) AS min_density,
+       MAX(val) AS max_density
+FROM edge_hits
+WHERE n_cross % 2 = 1
+GROUP BY polygon_id
+"""
+
+
+@q("zonal_stats", _ZONAL_SQL)
+def q_zonal_stats(spark, sf_dir):
+    """Rasterize the point cloud to a 1-deg density grid, then zonal
+    statistics per admin polygon (see block comment). Reuses the audited
+    pip_join (broadcast cell cover + Arrow refine); the band value rides
+    through the join as a column."""
+    from pyspark.sql import functions as F
+    pts = spark.sql(f"WITH {IPOINTS_CTE} SELECT lon_i, lat_i FROM ipoints")
+    raster = (pts
+              .withColumn("cj", F.floor(F.col("lon_i") / 100000.0).cast("long"))
+              .withColumn("ci", F.floor(F.col("lat_i") / 100000.0).cast("long"))
+              .groupBy("ci", "cj").agg(F.count("*").alias("val"))
+              .select("ci", "cj", "val",
+                      (F.col("cj") * 100000 + 50000).alias("lon_i"),
+                      (F.col("ci") * 100000 + 50000).alias("lat_i")))
+    hits = joins.pip_join(spark, raster)
+    return (hits.groupBy("polygon_id")
+                .agg(F.count("*").alias("n_cells"),
+                     F.sum("val").alias("sum_density"),
+                     F.min("val").alias("min_density"),
+                     F.max("val").alias("max_density")))
+
+
+# --- quadtree tile pyramid rollup (z8 -> z6 -> z4) ---------------------------
+# Hierarchical rollup on the web-mercator quadtree side, complementing the
+# aperture-7 hex hierarchy: z8 leaf counts aggregate to z4 tiles with
+# child/grandchild cardinalities (the drilldown metadata a tile server
+# materializes per pyramid level). Same tiling formula as tile_zxy_counts;
+# parent ids by exact FLOOR division of nonnegative tile indices, so the
+# oracle is bit-exact. One partial-agg shuffle on ~65k z8 keys, then a
+# second tiny agg — at 100 TB the raw points are touched once.
+
+_PYRAMID_SQL = f"""
+WITH {POINTS_CTE},
+tiles AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 256.0) AS BIGINT) AS tx,
+         CAST(floor((1.0 - ln(tan(pi()/4.0 + radians(lat)/2.0)) / pi()) / 2.0 * 256.0) AS BIGINT) AS ty
+  FROM points
+),
+z8 AS (SELECT tx, ty, COUNT(*) AS n FROM tiles GROUP BY tx, ty),
+lv AS (
+  SELECT n,
+         CAST(FLOOR(tx / 4.0) AS BIGINT) * 64 + CAST(FLOOR(ty / 4.0) AS BIGINT) AS z6_id,
+         CAST(FLOOR(tx / 16.0) AS BIGINT) AS tx4,
+         CAST(FLOOR(ty / 16.0) AS BIGINT) AS ty4
+  FROM z8
+)
+SELECT tx4, ty4,
+       SUM(n) AS n_docs,
+       COUNT(*) AS n_z8_tiles,
+       COUNT(DISTINCT z6_id) AS n_z6_tiles
+FROM lv
+GROUP BY tx4, ty4
+"""
+
+
+@q("tile_pyramid_rollup", _PYRAMID_SQL)
+def q_tile_pyramid_rollup(spark, sf_dir):
+    return spark.sql(_PYRAMID_SQL)
+
+
 # --- CH1903 -> WGS84 from the transformation registry ------------------------
 # The best registry candidate for 4149->4326 is EPSG:1753, whose rotations
 # are stored in CENTESIMAL SECONDS (EPSG UOM 9113) in the published SQL —

@@ -43,6 +43,36 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
                     "n_events", "sum_value"))
 
 
+def tile_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked per-tile-per-hour counts: the streaming spelling of the
+    geolocate -> webmerc z8 tile -> aggregate pipeline (tile_zxy_counts /
+    extract_tile_counts) for a continuously-arriving feed. Coordinates
+    derive from the event keys with the same integer-hash generator the
+    batch point queries use, so stream output is checkable against the
+    identical batch expression.
+
+    Scale: state is keyed by (1h window, tx, ty) — bounded by the
+    watermark horizon times the z8 world tile count (65,536), a few
+    hundred thousand rows of state regardless of input rate; late rows
+    beyond the watermark drop deterministically. All expressions are
+    JVM-side built-ins (no Python in the micro-batch path)."""
+    lon = ((F.col("user_id") * F.lit(2654435761) + F.col("event_id") * 40503)
+           % 36000000) / 100000.0 - 180.0
+    lat = ((F.col("user_id") * F.lit(2246822519) + F.col("event_id") * 10369)
+           % 17000000) / 100000.0 - 85.0
+    pi = 3.141592653589793
+    tx = F.floor((lon + 180.0) / 360.0 * 256.0).cast("long")
+    ty = F.floor((1.0 - F.log(F.tan(pi / 4.0 + F.radians(lat) / 2.0)) / pi)
+                 / 2.0 * 256.0).cast("long")
+    return (events
+            .withColumn("tx", tx).withColumn("ty", ty)
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "tx", "ty")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("hour_start"), "tx", "ty",
+                    "n_events"))
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append",
                   timeout_s: float = 300.0):
     """Drive the stream into an in-memory table until exhausted.

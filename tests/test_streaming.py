@@ -136,3 +136,36 @@ def test_streaming_dedup_drops_replays(spark, tmp_path):
     streaming.run_to_memory(deduped, "dedup_out", mode="append")
     got = spark.table("dedup_out")
     assert got.count() == got.select("event_id").distinct().count() == 500
+
+
+def test_tile_rollup_stream_equals_batch(spark, tmp_path):
+    """Streaming geospatial rollup: per-tile-per-hour counts over the
+    micro-batched feed equal the identical batch expression."""
+    src = str(tmp_path / "tile_events")
+    (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .repartition(4).write.mode("overwrite").parquet(src))
+    for extra in os.listdir(src):
+        if extra.startswith("_"):
+            os.remove(os.path.join(src, extra))
+
+    stream = streaming.tile_rollup(streaming.read_event_stream(spark, src))
+    streaming.run_to_memory(stream, "tile_rollup_complete", mode="complete")
+    got = spark.table("tile_rollup_complete")
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lon = ((F.col("user_id") * F.lit(2654435761) + F.col("event_id") * 40503)
+           % 36000000) / 100000.0 - 180.0
+    lat = ((F.col("user_id") * F.lit(2246822519) + F.col("event_id") * 10369)
+           % 17000000) / 100000.0 - 85.0
+    pi = 3.141592653589793
+    batch = (ev.withColumn("tx", F.floor((lon + 180.0) / 360.0 * 256.0).cast("long"))
+               .withColumn("ty", F.floor(
+                   (1.0 - F.log(F.tan(pi / 4.0 + F.radians(lat) / 2.0)) / pi)
+                   / 2.0 * 256.0).cast("long"))
+               .groupBy(F.window("ts", "1 hour").alias("w"), "tx", "ty")
+               .agg(F.count("*").alias("n_events"))
+               .select(F.col("w.start").alias("hour_start"), "tx", "ty",
+                       "n_events"))
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(g) > 100
