@@ -3777,6 +3777,22 @@ def q_within_radius_join(spark, sf_dir):
     return spark.sql(_RJ_SPARK)
 
 
+@q("within_radius_shuffled", _RJ_ORACLE)
+def q_within_radius_shuffled(spark, sf_dir):
+    """The BOTH-SIDES-LARGE spelling of within_radius_join (the r3 verdict
+    flagged the broadcast variant as fine only while one side is small):
+    identical cover-cell geometry, but the join is a SHUFFLE_HASH equi-join
+    on the cell id — each side exchanges once on (cell_x, cell_y), so at
+    10^12 points x 10^8 query disks neither side needs to fit in memory and
+    hot cells are split by AQE's skew-join handling. No dedup pass is
+    needed: cover rows are distinct per (cid, cell) and every point falls
+    in exactly one cell, so a pair can only form once. Same brute-force
+    DuckDB oracle — same pairs, different physical plan (asserted in
+    tests/test_plans.py: no broadcast, hash exchanges on both sides)."""
+    return spark.sql(_RJ_SPARK.replace("/*+ BROADCAST(c) */",
+                                       "/*+ SHUFFLE_HASH(c) */"))
+
+
 # --- as-of join ---------------------------------------------------------------
 # Each event matched to the LATEST state row at-or-before its timestamp —
 # the temporal join Spark has no native operator for. Engine shape: tag

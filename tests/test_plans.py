@@ -178,6 +178,22 @@ def test_within_radius_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_within_radius_shuffled_no_broadcast(spark):
+    """The both-sides-large variant must NOT broadcast: candidate
+    generation is a shuffled hash equi-join on the cell key with a hash
+    exchange on each side, and no theta/cartesian join."""
+    df = querylib.QUERIES["within_radius_shuffled"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted mode separates node names from Arguments: count the
+    # hash-partitioned exchanges feeding the join (one per side)
+    assert plan.count("Arguments: hashpartitioning(cell_x") >= 2 \
+        or plan.count("hashpartitioning(cell_x") >= 2
+
+
 def test_salted_agg_two_stage(spark):
     """Explicit salting must produce two aggregation exchanges — one on
     (keys, salt), one on keys — with deterministic (xxhash64) salt, never
