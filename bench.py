@@ -46,6 +46,11 @@ HEADLINE = [
     "factors_merc",
     "events_hourly",
     "ed50_regional_dispatch",   # registry dispatch: broadcast bbox join
+    # round-4 additions
+    "hex_parent_counts",        # aperture-7 hierarchical hex rollup
+    "zonal_stats",              # rasterize + zonal statistics round trip
+    "tile_pyramid_rollup",      # z8 -> z4 quadtree pyramid
+    "within_radius_shuffled",   # both-sides-large radius join (no broadcast)
 ]
 
 

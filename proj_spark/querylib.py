@@ -803,12 +803,18 @@ ipoints AS (
 )
 """
 
+# Fixed query budget (c_custkey < 25*4096 -> <= 4096 qids): the kNN /
+# geod query batch is BROADCAST, so letting it grow with the corpus is the
+# same super-linear trap the sf1 run exposed in the ANN paths
+# (BENCH/SF1.md) — a bounded batch against a growing corpus keeps the
+# broadcast small and total work linear in N. Never binds at sf <= 0.1
+# (max c_custkey 15,000), so gate/bench results are unchanged.
 QPOINTS_CTE = """
 qpoints AS (
   SELECT DISTINCT CAST(c_custkey AS BIGINT) AS qid,
          CAST((c_custkey * 1103515245 + 12345) % 36000000 AS BIGINT) - 18000000 AS qx,
          CAST((c_custkey * 69069 + 1) % 17000000 AS BIGINT) - 8500000 AS qy
-  FROM customer WHERE c_custkey % 25 = 0
+  FROM customer WHERE c_custkey % 25 = 0 AND c_custkey < 102400
 )
 """
 
