@@ -43,8 +43,13 @@ from __future__ import annotations
 import numpy as np
 
 # the 7 aperture digits: center + 6 axial neighbors (a complete residue
-# system of Z[tau] modulo u = 2 + tau)
-DIGITS = ((0, 0), (1, 0), (0, 1), (-1, 1), (-1, 0), (0, -1), (1, -1))
+# system of Z[tau] modulo u = 2 + tau), ORDERED so that index i is the
+# residue (a + 3b) mod 7 of the offset (a, b) — then the child digit is
+# pure integer arithmetic (no 7-way branch), and the SQL spelling stays
+# one whole-stage-codegen expression instead of a 14-branch CASE
+DIGITS = ((0, 0), (1, 0), (-1, 1), (0, 1), (0, -1), (1, -1), (-1, 0))
+_DIG_Q = np.array([d[0] for d in DIGITS])
+_DIG_R = np.array([d[1] for d in DIGITS])
 
 
 def cube_round(aq, ar):
@@ -103,13 +108,16 @@ def hex_children(q, r):
 
 def child_digit(q, r, pq, pr):
     """Digit index (0..6) of child (q, r) under parent (pq, pr); -1 if the
-    pair is not a parent/child pair."""
+    pair is not a parent/child pair.
+
+    The index is the residue (dq + 3*dr) mod 7 of the offset
+    d = z - u*p, injective over the 7 digit offsets (DIGITS is ordered so
+    index == residue). Pure integer arithmetic — no 7-way branch."""
     dq = np.asarray(q) - (2 * np.asarray(pq) - np.asarray(pr))
     dr = np.asarray(r) - (np.asarray(pq) + 3 * np.asarray(pr))
-    out = np.full(np.broadcast(dq, dr).shape, -1, dtype=np.int64)
-    for i, (a, b) in enumerate(DIGITS):
-        out = np.where((dq == a) & (dr == b), i, out)
-    return out
+    dig = (dq + 3 * dr) % 7  # numpy % is nonnegative for positive modulus
+    ok = (_DIG_Q[dig] == dq) & (_DIG_R[dig] == dr)
+    return np.where(ok, dig, -1).astype(np.int64)
 
 
 def hex_ancestry(x, y, size, levels):

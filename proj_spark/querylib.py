@@ -3436,14 +3436,15 @@ def _cube_round_sql(aq: str, ar: str) -> tuple[str, str]:
 
 def _hex_digit_sql(cq: str, cr: str, pq: str, pr: str) -> str:
     """SQL for the aperture-7 child digit (0..6) of (cq,cr) under (pq,pr):
-    index of z_child - u*z_parent in hexgrid.DIGITS."""
-    dq = f"({cq} - (2.0*{pq} - {pr}))"
-    dr = f"({cr} - ({pq} + 3.0*{pr}))"
-    from .hexgrid import DIGITS
-    whens = " ".join(
-        f"WHEN {dq} = {float(a)!r} AND {dr} = {float(b)!r} THEN {i}"
-        for i, (a, b) in enumerate(DIGITS))
-    return f"(CASE {whens} END)"
+    the residue (dq + 3*dr) mod 7 of the offset z_child - u*z_parent
+    (hexgrid.DIGITS is ordered index == residue, so this is the same digit
+    the library computes). Pure arithmetic keeps the whole query one
+    codegen expression — the previous 14-branch CASE (x2 levels) tripled
+    the sf0.1 wall on codegen compile alone. dq + 3*dr is in [-4, 4], so
+    ((x % 7) + 7) % 7 is the portable nonnegative modulo."""
+    dq = f"CAST({cq} - (2.0*{pq} - {pr}) AS BIGINT)"
+    dr = f"CAST({cr} - ({pq} + 3.0*{pr}) AS BIGINT)"
+    return f"((({dq} + 3*{dr}) % 7 + 7) % 7)"
 
 
 _HP2Q, _HP2R = _cube_round_sql("aq", "ar")
@@ -3466,12 +3467,20 @@ axial AS (
          ROUND((my * 2.0 / 3.0) / 100000.0, 6) AS ar
   FROM mercator
 ),
-lvl2 AS (SELECT pid, {_HP2Q} AS hq2, {_HP2R} AS hr2 FROM axial),
-lvl1 AS (SELECT pid, hq2, hr2, {_HP1Q} AS hq1, {_HP1R} AS hr1 FROM lvl2),
-lvl0 AS (SELECT pid, hq2, hr2, hq1, hr1, {_HP0Q} AS hq0, {_HP0R} AS hr0
+lvl2 AS (SELECT {_HP2Q} AS hq2, {_HP2R} AS hr2 FROM axial),
+-- aggregate to finest cells BEFORE deriving ancestry: (a) the only
+-- full-data shuffle is this partial-aggregated count, (b) the Aggregate
+-- is a projection-collapse barrier — without it Spark inlines the three
+-- chained cube-round layers into one exponentially-expanded expression
+-- over every point (measured 3x the wall at sf0.1); parents cost O(cells)
+cells2 AS (SELECT hq2, hr2, COUNT(*) AS n_pts FROM lvl2 GROUP BY hq2, hr2),
+lvl1 AS (SELECT hq2, hr2, n_pts, {_HP1Q} AS hq1, {_HP1R} AS hr1
+         FROM cells2),
+lvl0 AS (SELECT hq2, hr2, n_pts, hq1, hr1, {_HP0Q} AS hq0, {_HP0R} AS hr0
          FROM lvl1),
 cells AS (
-  SELECT CAST(hq0 AS BIGINT) AS hq0, CAST(hr0 AS BIGINT) AS hr0,
+  SELECT n_pts,
+         CAST(hq0 AS BIGINT) AS hq0, CAST(hr0 AS BIGINT) AS hr0,
          CAST({_hex_digit_sql('hq1', 'hr1', 'hq0', 'hr0')} AS BIGINT) AS d1,
          CAST({_hex_digit_sql('hq2', 'hr2', 'hq1', 'hr1')} AS BIGINT) AS d2
   FROM lvl0
@@ -3479,7 +3488,7 @@ cells AS (
 SELECT ((hq0 + 4096) * 8192 + (hr0 + 4096)) AS base_id,
        ((hq0 + 4096) * 8192 + (hr0 + 4096)) * 8 + d1 AS parent_id,
        (((hq0 + 4096) * 8192 + (hr0 + 4096)) * 8 + d1) * 8 + d2 AS cell_id,
-       COUNT(*) AS n_pts
+       SUM(n_pts) AS n_pts
 FROM cells
 GROUP BY 1, 2, 3
 """
