@@ -1448,9 +1448,8 @@ from . import textops  # noqa: E402
 
 @q("minhash_lsh_pairs", textops.minhash_lsh_sql("duck"))
 def q_minhash_lsh_pairs(spark, sf_dir):
-    textops.ensure_sh_sets_view(spark)
-    return spark.sql(textops.minhash_lsh_sql(
-        "spark", cached_view=textops.SH_SETS_VIEW))
+    textops.ensure_sh_sets_view(spark, sf_dir)
+    return textops.minhash_pairs_df(spark)
 
 
 @q("simhash_48", textops.simhash_sql("duck"))
@@ -3182,9 +3181,8 @@ def q_dedup_components(spark, sf_dir):
 
     from . import graph
 
-    textops.ensure_sh_sets_view(spark)
-    pairs = spark.sql(
-        f"SELECT id1, id2 FROM ({textops.minhash_lsh_sql('spark', cached_view=textops.SH_SETS_VIEW)})")
+    textops.ensure_sh_sets_view(spark, sf_dir)
+    pairs = textops.minhash_pairs_df(spark)
     edges = pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
     nodes = spark.sql(
         f"WITH {textops.DUP_DOCS_CTE} SELECT doc_id AS id FROM dup_docs")

@@ -10,9 +10,10 @@ SQL is rendered for Spark and DuckDB with a tiny dialect table
 (split/posexplode vs string_split/unnest, xor spelling).
 
 Operators:
-- minhash_lsh_pairs: word-3-gram shingles -> k=16 MinHash (min of salted
-  md5 strings) -> 4x4 banded LSH buckets -> candidate pairs -> exact
-  Jaccard verification (>= 0.5).
+- minhash_lsh_pairs: word-3-gram shingles -> k=16 MinHash (BIGINT
+  Carter-Wegman permutations of a 60-bit md5-derived shingle hash) ->
+  4x4 banded LSH buckets -> candidate pairs -> exact Jaccard
+  verification (>= 0.5).
 - simhash + simhash_dup_pairs: 48-bit SimHash from per-nibble md5 bits
   (48 stays inside exact-double integer range so both engines agree
   bit-for-bit), hamming <= 6 candidate pairs.
@@ -96,19 +97,95 @@ SH_SETS_VIEW = "sh_sets_cached"
 _sh_sets_cached: dict = {}
 
 
-def ensure_sh_sets_view(spark) -> None:
+def ensure_sh_sets_view(spark, sf_dir: str | None = None) -> None:
     """Materialize the distinct (doc_id, shingle) set behind a cache
     barrier. One minhash query references the shingle relation FOUR times
     (minhash agg, sizes, both sides of the exact-verify join); with the
     CTE inlined, Catalyst recomputes the explode + distinct per reference.
     The cached InMemoryRelation computes it once per session — the same
-    role a materialized shingle table plays in a production pipeline."""
-    key = spark.sparkContext.applicationId
+    role a materialized shingle table plays in a production pipeline.
+
+    Keyed on (application, sf_dir): the cached relation snapshots the
+    `documents` view at build time, so a session that switches sf_dir
+    must not be served the previous scale's shingles (stale-cache bug —
+    the old per-application key did exactly that). The previous scale's
+    entry is unpersisted to bound storage memory."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _sh_sets_cached:
+        for k in [k for k in _sh_sets_cached if k[0] == key[0]]:
+            try:
+                _sh_sets_cached.pop(k).unpersist()
+            except Exception:
+                pass
         _sh_sets_cached[key] = spark.sql(
             f"WITH {DUP_DOCS_CTE}, {SHINGLES_SPARK} "
             "SELECT doc_id, sh FROM sh_sets").cache()
     _sh_sets_cached[key].createOrReplaceTempView(SH_SETS_VIEW)
+
+
+# 16 Carter-Wegman permutations (a*x + b) mod P over the 60-bit shingle
+# hash reduced mod P (P = 2^31 - 1, Mersenne): pairwise-independent family,
+# the standard practical stand-in for random min-wise permutations.
+# Constants from the seeded LCG x <- (1103515245 x + 12345) mod 2^31,
+# seed 42 (a = 2x+1 forced odd/nonzero, b = next x) — deterministic and
+# engine-neutral.
+MINHASH_P = 2147483647
+MINHASH_AB = (
+    (353508408, 1116302264), (2001353507, 1668674806),
+    (1816191471, 71666532), (1792672667, 1736731266),
+    (482495272, 1535244752), (782883731, 1108520142),
+    (266145760, 534045436), (1802189580, 238077914),
+    (680224792, 705377000), (795810307, 1440974758),
+    (1798507472, 282367380), (1763569787, 1823504434),
+    (1759326983, 70219520), (284145268, 1726604670),
+    (636392895, 1939145516), (2061755371, 968547210),
+)
+
+
+def minhash_pairs_df(spark):
+    """ENGINE-side MinHash->LSH->verify as a DataFrame chain over the
+    cached shingle view (ensure_sh_sets_view first). Same logical
+    pipeline as minhash_lsh_sql('spark', ...), same output columns.
+
+    Why not SQL text: Spark's CacheManager substitution does not descend
+    into WITH-CTE definition bodies, so ANY reference to the cached view
+    from inside a CTE recomputes the full shingle pipeline from parquet
+    (measured: 0 InMemoryTableScan, 18 raw scans, ~2x the wall).
+    DataFrame references to spark.table(view) substitute correctly —
+    the four consumers (minhash agg, sizes, both verify sides) all read
+    the one InMemoryRelation."""
+    from pyspark.sql import functions as F
+
+    sh = spark.table(SH_SETS_VIEW)
+    v = (F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+         % MINHASH_P).alias("v")
+    hashed = sh.select("doc_id", v)
+    minhash = hashed.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("v") + F.lit(b)) % MINHASH_P).alias(f"mh{p}")
+        for p, (a, b) in enumerate(MINHASH_AB)])
+    bkeys = [F.concat_ws("|", *[F.col(f"mh{4 * b + r}").cast("string")
+                                for r in range(4)])
+             for b in range(4)]
+    bands = minhash.select(
+        "doc_id", F.posexplode(F.array(*bkeys)).alias("band", "bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bkey") == F.col("b.bkey"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id1"),
+                     F.col("b.doc_id").alias("id2"))
+             .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("id1"), "sh")
+    s2 = sh.select(F.col("doc_id").alias("id2"), "sh")
+    inter = (cand.join(s1, "id1").join(s2, ["id2", "sh"])
+                 .groupBy("id1", "id2").agg(F.count("*").alias("ni")))
+    n1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("_n1"))
+    n2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("_n2"))
+    jac = F.col("ni") / (F.col("_n1") + F.col("_n2") - F.col("ni"))
+    return (inter.join(n1, "id1").join(n2, "id2")
+                 .filter(jac >= 0.5)
+                 .select("id1", "id2", F.round(jac, 6).alias("jaccard")))
 
 
 def minhash_lsh_sql(dialect: str, cached_view: str | None = None) -> str:
@@ -119,20 +196,45 @@ def minhash_lsh_sql(dialect: str, cached_view: str | None = None) -> str:
     one hash aggregation on doc_id with map-side combine, one row per doc
     out — where the cross-join-with-permutations form pushed 16x the
     shingle volume through TWO aggregations ((doc_id, p), then banding).
-    Band keys are then pure projections; Spark emits the 4 band rows
-    map-side via posexplode, the DuckDB oracle via UNION ALL.
+
+    The minimums are over BIGINT permutation values (one md5 per shingle
+    -> 60-bit int -> 16 Carter-Wegman (a*x+b) mod P mixes), NOT over 16
+    md5 strings: string agg buffers force Spark into SortAggregate — a
+    full sort of every shingle row by doc_id, measured 8x the wall of the
+    HashAggregate the fixed-width BIGINT buffers allow (and 1 md5 per row
+    instead of 16). Band keys are then pure projections; Spark emits the
+    4 band rows map-side via posexplode, the DuckDB oracle via UNION ALL.
     ``cached_view`` (engine side): read shingles from a pre-materialized
     view (ensure_sh_sets_view) instead of re-deriving them per reference."""
     if cached_view:
-        shingle_with = (
-            f"shingles AS (SELECT * FROM {cached_view}), "
-            f"sh_sets AS (SELECT * FROM {cached_view})")
+        # reference the cached view DIRECTLY as the table name: wrapping
+        # it in a CTE alias (shingles AS (SELECT * FROM view)) defeats
+        # Spark's CacheManager sameResult match — measured 0
+        # InMemoryTableScan through the CTE vs a hit on the bare
+        # reference, i.e. the whole shingle pipeline re-ran per reference
+        shingle_with = None
+        sh_tbl = set_tbl = cached_view
     elif dialect == "spark":
         shingle_with = f"{DUP_DOCS_CTE}, {SHINGLES_SPARK}"
+        sh_tbl, set_tbl = "shingles", "sh_sets"
     else:
         shingle_with = f"{DUP_DOCS_CTE}, {WORDS_DUCK}, {SHINGLES_CTE}"
-    mins = ", ".join(f"MIN(md5('{p}|' || sh)) AS mh{p}" for p in range(16))
-    bkeys = [" || ".join(f"mh{4 * b + r}" for r in range(4)) for b in range(4)]
+        sh_tbl, set_tbl = "shingles", "sh_sets"
+    # 60-bit base hash of the shingle: first 15 hex chars of md5, parsed
+    # to BIGINT (both engines produce identical lowercase md5 hex; the
+    # parse spelling is the only dialect difference), reduced mod P once
+    if dialect == "spark":
+        base = "CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        base = "CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)"
+    mins = ", ".join(
+        f"MIN(({a} * v + {b}) % {MINHASH_P}) AS mh{p}"
+        for p, (a, b) in enumerate(MINHASH_AB))
+    hashed = (f"hashed AS (SELECT doc_id, {base} % {MINHASH_P} AS v "
+              f"FROM {sh_tbl})")
+    bkeys = [
+        "concat_ws('|', " + ", ".join(f"mh{4 * b + r}" for r in range(4)) + ")"
+        for b in range(4)]
     if dialect == "spark":
         bands = f"""
 bands AS (
@@ -144,11 +246,12 @@ bands AS (
         bands = "bands AS (" + "\n  UNION ALL ".join(
             f"SELECT doc_id, {b} AS band, {k} AS bkey FROM minhash"
             for b, k in enumerate(bkeys)) + ")"
+    with_head = f"WITH {shingle_with},\n" if shingle_with else "WITH "
     return f"""
-WITH {shingle_with},
+{with_head}{hashed},
 minhash AS (
   SELECT doc_id, {mins}
-  FROM shingles
+  FROM hashed
   GROUP BY doc_id
 ),
 {bands},
@@ -157,12 +260,12 @@ cand AS (
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_sets GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM {set_tbl} GROUP BY doc_id),
 inter AS (
   SELECT c.id1, c.id2, COUNT(*) AS ni
   FROM cand c
-  JOIN sh_sets s1 ON s1.doc_id = c.id1
-  JOIN sh_sets s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
+  JOIN {set_tbl} s1 ON s1.doc_id = c.id1
+  JOIN {set_tbl} s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
   GROUP BY c.id1, c.id2
 )
 SELECT i.id1, i.id2,

@@ -146,13 +146,18 @@ def test_minhash_single_pass_agg(spark):
     keys are projections, and candidate generation stays an equi-join —
     the cross-join-with-permutations shape (16x shuffle volume, two
     aggregations) must not come back."""
-    from proj_spark import textops
-    df = spark.sql(textops.minhash_lsh_sql("spark"))
+    df = querylib.QUERIES["minhash_lsh_pairs"](spark, SF)
     plan = plan_of(df)
     assert "Functions [16]" in plan
     assert "partial_min" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # BIGINT minhash values keep the agg a HashAggregate — min(string)
+    # buffers would force SortAggregate (a full sort of every shingle row)
+    assert "SortAggregate" not in plan
+    # the four shingle consumers must read the one cached relation, not
+    # re-derive shingles from parquet (CTE references defeat the cache)
+    assert "InMemoryTableScan" in plan
 
 
 def test_decontam_probe_is_broadcast(spark):

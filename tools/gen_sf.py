@@ -38,8 +38,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 KEY_OFF = 1 << 24  # > every key in sf0.1 (max l_orderkey 149,999)
-DOC_OFF = 100_000  # > max doc_id; NOT a multiple of 97, so the pages poison
-                   # row density (doc_id % 97 == 13) stays ~1/97 in each copy
+DOC_OFF = 1_000_000  # > max doc_id AND > textops.DUP_DOCS_CTE's +100000 /
+                     # +200000 synthetic-dup shifts (offset 100_000 made
+                     # copy 0's synthetic dups COLLIDE with copy 1/2's real
+                     # doc_ids, polluting the sf1 dup-pair structure); NOT
+                     # a multiple of 97, so the pages poison row density
+                     # (doc_id % 97 == 13) stays ~1/97 in each copy
 
 COPY_VERBATIM = ["region", "nation", "customer", "supplier"]
 
