@@ -64,6 +64,13 @@ def run_worker(cpus: int) -> dict:
     querylib.register_views(spark, SF_DIR)
 
     tmp = tempfile.mkdtemp(prefix="pages_bench_")
+    # ALWAYS remove the 6+ GB materialized fixture, even when the worker
+    # is killed mid-run or the pipeline throws: the happy-path rmtree
+    # alone leaked one dir per interrupted worker until /tmp filled
+    # (measured: 43 GB of orphans caused disk-full spill failures in
+    # later runs)
+    import atexit
+    atexit.register(shutil_rmtree, tmp)
     # input materialization is NOT part of the measured pipeline: the
     # engine's job starts at a pages table on storage, like a real crawl
     full_dir = os.path.join(tmp, "full")

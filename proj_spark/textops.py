@@ -402,6 +402,36 @@ FROM scored
 
 # --- exact n-gram Jaccard near-dup (inverted-index equi-join) ----------------
 
+def ngram_jaccard_df(spark, df_cap: int = 64):
+    """ENGINE-side exact n-gram Jaccard over the cached shingle view
+    (ensure_sh_sets_view first) — same capped-candidate rule and output
+    as ngram_jaccard_sql('spark', df_cap). The SQL spelling references
+    the shingle relation SIX times, and CTE references defeat the cache
+    (see minhash_pairs_df), so the explode+distinct pipeline re-ran ~6x
+    from parquet; the DataFrame chain reads the one InMemoryRelation."""
+    from pyspark.sql import functions as F
+
+    sh = spark.table(SH_SETS_VIEW)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    coldsh = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= df_cap).select("sh"))
+    cold = sh.join(coldsh, "sh")
+    c1 = cold.select(F.col("doc_id").alias("id1"), "sh")
+    c2 = cold.select(F.col("doc_id").alias("id2"), "sh")
+    cand = (c1.join(c2, "sh").filter(F.col("id1") < F.col("id2"))
+              .select("id1", "id2").distinct())
+    a = sh.select(F.col("doc_id").alias("id1"), "sh")
+    b = sh.select(F.col("doc_id").alias("id2"), "sh")
+    inter = (cand.join(a, "id1").join(b, ["id2", "sh"])
+                 .groupBy("id1", "id2").agg(F.count("*").alias("ni")))
+    n1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("_n1"))
+    n2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("_n2"))
+    jac = F.col("ni") / (F.col("_n1") + F.col("_n2") - F.col("ni"))
+    return (inter.join(n1, "id1").join(n2, "id2")
+                 .filter(jac >= 0.6)
+                 .select("id1", "id2", F.round(jac, 6).alias("jaccard")))
+
+
 def ngram_jaccard_sql(dialect: str, df_cap: int | None = 64) -> str:
     """EXACT word-3-gram Jaccard >= 0.6 pairs — the deterministic baseline
     the MinHash-LSH path approximates.
