@@ -64,40 +64,45 @@ def run_worker(cpus: int) -> dict:
     querylib.register_views(spark, SF_DIR)
 
     tmp = tempfile.mkdtemp(prefix="pages_bench_")
-    # ALWAYS remove the 6+ GB materialized fixture, even when the worker
-    # is killed mid-run or the pipeline throws: the happy-path rmtree
+    # ALWAYS remove the 6+ GB materialized fixture: the happy-path rmtree
     # alone leaked one dir per interrupted worker until /tmp filled
-    # (measured: 43 GB of orphans caused disk-full spill failures in
-    # later runs)
+    # (measured: 43 GB of orphans caused disk-full spill failures in later
+    # runs). try/finally covers the throw path; the atexit registration is
+    # only the kill-signal backstop and is unregistered on normal exit so
+    # a long-lived caller invoking run_worker repeatedly doesn't
+    # accumulate one callback (+ tmp-path string) per call.
     import atexit
     atexit.register(shutil_rmtree, tmp)
-    # input materialization is NOT part of the measured pipeline: the
-    # engine's job starts at a pages table on storage, like a real crawl
-    full_dir = os.path.join(tmp, "full")
-    materialize_pages(spark, SF_DIR, full_dir, scale=SCALE, view_name="pages_tbl")
-    n_docs = spark.table("pages_tbl").count()
+    try:
+        # input materialization is NOT part of the measured pipeline: the
+        # engine's job starts at a pages table on storage, like a real crawl
+        full_dir = os.path.join(tmp, "full")
+        materialize_pages(spark, SF_DIR, full_dir, scale=SCALE, view_name="pages_tbl")
+        n_docs = spark.table("pages_tbl").count()
 
-    def pipeline():
-        _run_pipeline(spark, joins, apply_transform, create, F)
+        def pipeline():
+            _run_pipeline(spark, joins, apply_transform, create, F)
 
-    # warm-up AT FULL SCALE until steady state: the first runs pay JVM JIT
-    # (C2 compiles the codegen'd regex/agg loops over several invocations),
-    # Python-UDF worker pool forks + numpy imports (one worker per
-    # concurrent task — the storm grows with the worker count), and
-    # broadcast initialization. A 100 TB production job runs for hours at
-    # steady state; cold-start seconds are not the quantity the north rule
-    # scales, so we measure steady-state throughput.
-    for _ in range(WARMUPS):
-        pipeline()
+        # warm-up AT FULL SCALE until steady state: the first runs pay JVM JIT
+        # (C2 compiles the codegen'd regex/agg loops over several invocations),
+        # Python-UDF worker pool forks + numpy imports (one worker per
+        # concurrent task — the storm grows with the worker count), and
+        # broadcast initialization. A 100 TB production job runs for hours at
+        # steady state; cold-start seconds are not the quantity the north rule
+        # scales, so we measure steady-state throughput.
+        for _ in range(WARMUPS):
+            pipeline()
 
-    walls = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        pipeline()
-        walls.append(time.perf_counter() - t0)
-    wall = min(walls)  # host is a noisy shared VM: slowdowns are one-sided
-    spark.stop()
-    shutil_rmtree(tmp)
+        walls = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            pipeline()
+            walls.append(time.perf_counter() - t0)
+        wall = min(walls)  # host is noisy shared VM: slowdowns are one-sided
+        spark.stop()
+    finally:
+        shutil_rmtree(tmp)
+        atexit.unregister(shutil_rmtree)
     return {"cpus": cpus, "n_docs": n_docs, "wall_s": round(wall, 2),
             "walls": [round(w, 2) for w in walls],
             "docs_per_sec": round(n_docs / wall)}
