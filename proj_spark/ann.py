@@ -21,6 +21,33 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def hyperplane_lsh_plan(n_vecs: int, recall_sim: float = 0.95,
+                        miss: float = 1e-6) -> tuple[int, int]:
+    """Derive (n_bands, n_bits) for sign-random-projection LSH from the
+    corpus size and the recall contract — no hand-tuned constants.
+
+    bits: two random (cosine ~0) vectors agree on one sign bit w.p. ~1/2,
+    so a band's random-collision probability is ~2^-bits;
+    bits = ceil(log2 N) + 4 keeps expected random candidates per band
+    <= N^2/2 * 2^-bits ~= N/32, i.e. total candidates O(bands * N) at any
+    corpus size (the r4 hand constants held only to N ~ 1e7).
+
+    bands: a pair at cosine s agrees per bit w.p. p = 1 - acos(s)/pi
+    (Goemans-Williamson); a band of `bits` bits agrees w.p. p^bits, so
+    bands are sized to push the all-bands miss probability
+    (1 - p^bits)^bands below `miss` at the contract similarity
+    `recall_sim`. Pairs below recall_sim may still surface (and are then
+    exactly verified), but carry no recall guarantee — the standard
+    OR-AND amplification sharpness trade-off.
+    """
+    import math
+    bits = max(16, math.ceil(math.log2(max(n_vecs, 2))) + 4)
+    p = 1.0 - math.acos(recall_sim) / math.pi
+    band_agree = p ** bits
+    bands = max(4, math.ceil(math.log(miss) / math.log(1.0 - band_agree)))
+    return bands, bits
+
+
 def _normalized(e: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """(vec_id, v, norm) with v cast to double."""
     v = F.transform(vec_col, lambda x: x.cast("double"))

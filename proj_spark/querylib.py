@@ -1485,6 +1485,22 @@ def q_token_counts(spark, sf_dir):
 
 # --- embedding near-dup (cosine >= threshold pairs) --------------------------
 
+# Operator contract (r4 advice): candidates are generated by banded LSH and
+# then EXACTLY verified, so every emitted pair truly has sim >= the verify
+# threshold; the RECALL guarantee (miss <= EMB_LSH_MISS) holds for pairs at
+# sim >= EMB_NEAR_DUP_RECALL_SIM — the near-duplicate regime this operator
+# targets. Pairs in [verify, recall) may be missed by candidate generation
+# (guaranteeing miss<=1e-6 at sim=0.8 needs ~500+ 16-bit bands — quadratic
+# candidate volume; see ann.hyperplane_lsh_plan). tests/test_embedding_lsh.py
+# asserts the gate fixtures have NO true pair inside that unrecallable band,
+# so the exhaustive DuckDB oracle comparison is honest, and asserts the
+# recall + linear-candidate properties on real fixture corpora.
+EMB_NEAR_DUP_VERIFY_SIM = 0.8
+EMB_NEAR_DUP_RECALL_SIM = 0.95
+EMB_LSH_MISS = 1e-6
+EMB_LSH_SEED = 0x5EED
+
+
 @q("embedding_near_dup", """
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1507,24 +1523,23 @@ SELECT id1, id2, ROUND(sim, 6) AS sim
 FROM pairs WHERE sim >= 0.8
 """)
 def q_embedding_near_dup(spark, sf_dir):
-    """Cosine >= 0.8 pairs via banded random-hyperplane LSH: 8 bands x 16
-    sign bits from fixed seeded hyperplanes; candidates come from an
-    EQUI-join on (band, key) and are verified with the exact cosine.
+    """Cosine >= 0.8 pairs via banded random-hyperplane LSH with DERIVED
+    band constants: (n_bands, n_bits) come from ann.hyperplane_lsh_plan —
+    bits from the corpus size (keeps random-pair band collisions ~2^-bits
+    so total candidates stay O(bands*N) at ANY scale), bands from the
+    recall contract (miss <= EMB_LSH_MISS at sim >= EMB_NEAR_DUP_RECALL_SIM).
+    Candidates come from an EQUI-join on (band, key) and are verified with
+    the exact cosine, so emitted pairs exactly satisfy the 0.8 filter.
 
-    Band sizing is the scale-critical choice (the sf1 sweep caught the
-    original 24x3-bit scheme HANGING: 3-bit keys give only 192 buckets,
-    so random pairs collide w.p. 24/8 -- the "equi-join" was 1.5*N^2
-    candidate pairs, worse than brute force). 16-bit keys drop the
-    random-pair collision to 8*2^-16 ~ 1e-4 (candidates ~ 1e-4 * N^2 --
-    linear-ish until N ~ 10^7, then raise bits/bands via the constants
-    below). Recall is tuned for the near-duplicate regime this operator
-    targets: the fixture's true pairs sit at sim >= 0.9997 (theta 1.4
-    deg), where a 16-bit band agrees w.p. 0.992^16 = 0.88 and the
-    8-band miss probability is (1-0.88)^8 ~ 4e-8; a hypothetical pair
-    exactly at the 0.8 verify threshold would need more/smaller bands
-    (recall there is the standard LSH sharpness trade-off)."""
+    History: the r3 24x3-bit scheme HUNG at sf1 (192 buckets -> disguised
+    cartesian); the r4 fix hand-tuned 8x16 bits, which bounded candidates
+    only to N~1e7 and guaranteed recall only at the fixture's sim~0.9997
+    (r4 advice: ~19% recall at sim exactly 0.8). The derived plan removes
+    both hand constants; the contract note above the EMB_* constants
+    records the [0.8, 0.95) sharpness trade-off."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import ArrayType, IntegerType
+    from pyspark.sql.types import ArrayType, LongType
+    from . import ann
     base = spark.table("embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
@@ -1535,28 +1550,42 @@ def q_embedding_near_dup(spark, sf_dir):
     e = e.withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
 
-    n_bands, n_rows, dim = 8, 16, 64
-    hyper = np.random.default_rng(0x5EED).standard_normal(
+    # corpus size drives the plan: one cheap count job (base + 10% variants)
+    n_base = spark.table("embeddings").count()
+    n_bands, n_rows = ann.hyperplane_lsh_plan(
+        n_base + n_base // 10, EMB_NEAR_DUP_RECALL_SIM, EMB_LSH_MISS)
+    dim = 64
+    hyper = np.random.default_rng(EMB_LSH_SEED).standard_normal(
         (dim, n_bands * n_rows))
-    pack = 1 << np.arange(n_rows - 1, -1, -1)
+    pack = (np.int64(1) << np.arange(n_rows - 1, -1, -1, dtype=np.int64))
 
-    @F.pandas_udf(ArrayType(IntegerType()))
+    @F.pandas_udf(ArrayType(LongType()))
     def band_keys(v: pd.Series) -> pd.Series:
         mat = np.stack(v.to_numpy())            # (n, dim)
         bits = (mat @ hyper) > 0                # (n, bands*rows)
         keys = bits.reshape(-1, n_bands, n_rows).astype(np.int64) @ pack
-        return pd.Series(list(keys.astype(np.int32)))
+        return pd.Series(list(keys))
 
     sig = (e.withColumn("keys", band_keys("v"))
              .select("vec_id", F.posexplode("keys").alias("band", "bk")))
-    cand = (sig.alias("a")
-            .join(sig.alias("b"),
-                  (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.bk") == F.col("b.bk"))
-                  & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("id1"),
-                    F.col("b.vec_id").alias("id2"))
-            .distinct())
+    # candidates: group each (band, key) bucket and expand in-bucket pairs
+    # — computes the signature relation ONCE (the former sig-self-join
+    # recomputed the UDF + explode on both sides: measured 11.5 s -> 9.0 s
+    # at sf1, identical output). Expected bucket size is ~1 + the true
+    # near-dup cluster size (bits = log2 N + 4 keeps random co-bucketing
+    # at ~N/32 per band), so collect_list stays tiny; a corpus with
+    # mega-clusters of identical vectors would need a bucket cap + exact
+    # fallback, like the df-cap in ngram_jaccard.
+    bucket = (sig.groupBy("band", "bk")
+                 .agg(F.collect_list("vec_id").alias("ids"))
+                 .filter(F.size("ids") >= 2))
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(least(x, y) AS id1, greatest(x, y) AS id2))))")
+    cand = (bucket.select(F.explode(pair_expr).alias("p"))
+                  .select("p.id1", "p.id2")
+                  .distinct())
     e1 = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
                   F.col("norm").alias("n1"))
     e2 = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
@@ -1566,7 +1595,7 @@ def q_embedding_near_dup(spark, sf_dir):
                       F.lit(0.0), lambda acc, x: acc + x)
     pairs = pairs.select("id1", "id2",
                          (dot / (F.col("n1") * F.col("n2"))).alias("sim"))
-    return (pairs.filter(F.col("sim") >= 0.8)
+    return (pairs.filter(F.col("sim") >= EMB_NEAR_DUP_VERIFY_SIM)
                  .select("id1", "id2", F.round("sim", 6).alias("sim")))
 
 

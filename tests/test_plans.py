@@ -132,12 +132,16 @@ def test_simhash_pairs_no_cartesian(spark):
 
 
 def test_embedding_near_dup_no_cartesian(spark):
-    """Embedding near-dup candidates come from the banded-LSH equi-join
-    on (band, key); only verified candidates ever carry vectors."""
+    """Embedding near-dup candidates come from one (band, key) bucket
+    aggregation over the signature relation (signatures computed once —
+    the former sig-self-join ran the LSH UDF on both sides) with
+    in-bucket pair expansion; only verified candidates ever carry
+    vectors, and nothing may plan a cartesian."""
     df = querylib.QUERIES["embedding_near_dup"](spark, SF)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "collect_list" in plan
 
 
 def test_minhash_single_pass_agg(spark):
