@@ -64,6 +64,21 @@ def test_recall_monotone_in_nprobe_and_exact_at_full(spark, emb, exact):
     assert rall == 1.0         # bucket pruning is IVF's ONLY loss
 
 
+def test_probe_recall_query_bar(spark):
+    """The registered ann_ivf_probe_recall query (VERDICT r4 #3) must
+    report a monotone recall@5 curve with >= 0.9 at nprobe=8 on its
+    planted-cluster corpus — the exact values are value-locked by the
+    DuckDB oracle in the sweep; this pins the headline bar itself."""
+    from proj_spark import querylib
+    querylib.register_views(spark, SF_DIR)
+    rows = {r.nprobe: r.recall_at_5
+            for r in querylib.QUERIES["ann_ivf_probe_recall"](
+                spark, SF_DIR).collect()}
+    assert set(rows) == {1, 4, 8}
+    assert rows[1] <= rows[4] <= rows[8]
+    assert rows[8] >= 0.9      # measured 0.94 at sf0.01
+
+
 def test_kmeans_deterministic(spark, emb):
     c1 = ann.train_centroids(emb, k=K_CENTS)
     c2 = ann.train_centroids(emb, k=K_CENTS)
