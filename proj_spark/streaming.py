@@ -161,6 +161,92 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                                     GroupStateTimeout.EventTimeTimeout))
 
 
+def minhash_band_keys(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document MinHash LSH band keys as pure JVM expressions —
+    identical values to textops' batch banding (same md5-derived shingle
+    hash mod P, same 16 Carter-Wegman permutations, same 4x4 '|'-joined
+    keys; tests assert the equality) but computed WITHIN each row
+    (shingle array -> transform -> array_min) instead of explode +
+    groupBy. Zero shuffles and no streaming-aggregation state, so the
+    same function runs on a static DataFrame and on an unbounded stream.
+    Documents under 3 words have no shingles and produce no keys, like
+    the batch path. Output: (id_col[, ts], band, bkey)."""
+    from .textops import MINHASH_AB, MINHASH_P
+
+    ws = f"split({text_col}, ' ')"
+    sh = (f"CASE WHEN size({ws}) >= 3 "
+          f"THEN transform(sequence(0, size({ws}) - 3), "
+          f"i -> concat_ws(' ', {ws}[i], {ws}[i + 1], {ws}[i + 2])) "
+          f"ELSE array() END")
+    vs = (f"transform({sh}, s -> "
+          f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) "
+          f"% {MINHASH_P})")
+    docs = docs.withColumn("_vs", F.expr(vs)).filter(F.size("_vs") >= 1)
+    mh = [f"array_min(transform(_vs, v -> "
+          f"(CAST({a} AS BIGINT) * v + CAST({b} AS BIGINT)) % {MINHASH_P}))"
+          for a, b in MINHASH_AB]
+    bkeys = [F.expr(f"concat_ws('|', {', '.join(f'CAST({mh[4 * b + r]} AS STRING)' for r in range(4))})")
+             for b in range(4)]
+    carry = [id_col] + (["ts"] if "ts" in docs.columns else [])
+    return docs.select(*carry,
+                       F.posexplode(F.array(*bkeys)).alias("band", "bkey"))
+
+
+def streaming_minhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            watermark: str = "2 hours",
+                            horizon_ms: int = 2 * 3600 * 1000) -> DataFrame:
+    """Watermark-bounded streaming MinHash-band near-dup (the incremental
+    path of the engine's strongest LLM-pipeline operator): band keys come
+    from the stateless :func:`minhash_band_keys`, then one stateful
+    operator per (band, bkey) bucket emits a candidate pair the moment a
+    new document collides with any previously-seen document in that
+    bucket. Output rows are (id1, id2) with id1 < id2, appended as
+    discovered; a pair agreeing on several bands is emitted once per
+    band — distinct downstream, exactly like the batch LSH's candidate
+    distinct.
+
+    State per bucket is the id set seen within the horizon, evicted by an
+    EVENT-time timeout when the watermark passes last-arrival + horizon —
+    bounded by arrival rate x horizon like streaming_dedup, independent
+    of stream length. Exact Jaccard verification stays a downstream batch
+    join (state would otherwise hold full shingle sets); the streaming
+    layer's contract is candidate recall, the same split a production
+    crawl pipeline uses."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sig = minhash_band_keys(docs.withWatermark("ts", watermark), id_col)
+    out_schema = "id1 long, id2 long"
+    state_schema = "ids array<long>"
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["id1", "id2"])
+            return
+        rows = pd.concat(list(pdfs))
+        known = set(state.get[0]) if state.exists else set()
+        pairs = []
+        for nid in sorted({int(x) for x in rows[id_col]}):
+            if nid in known:
+                continue
+            pairs.extend((min(nid, o), max(nid, o)) for o in known)
+            known.add(nid)
+        state.update((sorted(known),))
+        state.setTimeoutTimestamp(
+            int(rows["ts"].max().timestamp() * 1000) + horizon_ms)
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["id1", "id2"])
+        else:
+            yield pd.DataFrame(columns=["id1", "id2"])
+
+    return (sig.groupBy("band", "bkey")
+               .applyInPandasWithState(fn, out_schema, state_schema,
+                                       "append",
+                                       GroupStateTimeout.EventTimeTimeout))
+
+
 def streaming_dedup(events: DataFrame, key_cols=("event_id",),
                     watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: keep the first arrival of each key within

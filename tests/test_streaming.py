@@ -169,3 +169,61 @@ def test_tile_rollup_stream_equals_batch(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b and len(g) > 100
+
+
+def test_streaming_minhash_equals_batch(spark, tmp_path):
+    """Streaming MinHash-band near-dup: the candidate-pair set discovered
+    incrementally over micro-batches equals the batch LSH banding's
+    candidate set on the same corpus, and the stateless per-row band keys
+    equal textops' audited explode+groupBy banding value-for-value."""
+    from proj_spark import querylib, textops
+
+    querylib.register_views(spark, "/root/testdata/sf0.001")
+    docs = spark.sql(
+        f"WITH {textops.DUP_DOCS_CTE} SELECT doc_id, text FROM dup_docs"
+    ).withColumn(
+        "ts", F.expr("timestamp'2024-01-01 00:00:00' "
+                     "+ make_interval(0, 0, 0, 0, 0, CAST(doc_id % 60 AS INT), 0)"))
+
+    # 1) band keys: per-row expressions == textops' explode + groupBy agg
+    sig_static = streaming.minhash_band_keys(docs)
+    textops.ensure_sh_sets_view(spark, "/root/testdata/sf0.001")
+    sh = spark.table(textops.SH_SETS_VIEW)
+    v = (F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+         % textops.MINHASH_P).alias("v")
+    minhash = sh.select("doc_id", v).groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("v") + F.lit(b)) % textops.MINHASH_P)
+         .alias(f"mh{p}") for p, (a, b) in enumerate(textops.MINHASH_AB)])
+    bk = [F.concat_ws("|", *[F.col(f"mh{4 * b + r}").cast("string")
+                             for r in range(4)]) for b in range(4)]
+    sig_textops = minhash.select(
+        "doc_id", F.posexplode(F.array(*bk)).alias("band", "bkey"))
+    a = {tuple(r) for r in sig_static.select("doc_id", "band", "bkey").collect()}
+    b = {tuple(r) for r in sig_textops.collect()}
+    assert a == b and len(a) > 1000
+
+    # 2) stream == batch: candidate pairs discovered across micro-batches
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    for extra in os.listdir(src):
+        if extra.startswith("_"):
+            os.remove(os.path.join(src, extra))
+    stream_docs = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+    pairs = streaming.streaming_minhash_pairs(stream_docs,
+                                              watermark="8760 hours",
+                                              horizon_ms=10**12)
+    streaming.run_to_memory(pairs, "minhash_pairs_out", mode="append")
+    got = {(r.id1, r.id2) for r in spark.table("minhash_pairs_out").collect()}
+
+    sj = sig_static.select("doc_id", "band", "bkey")
+    expected = {(r.id1, r.id2) for r in
+                (sj.alias("x").join(
+                    sj.alias("y"),
+                    (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.bkey") == F.col("y.bkey"))
+                    & (F.col("x.doc_id") < F.col("y.doc_id")))
+                 .select(F.col("x.doc_id").alias("id1"),
+                         F.col("y.doc_id").alias("id2"))
+                 .distinct()).collect()}
+    assert got == expected and len(expected) > 50
