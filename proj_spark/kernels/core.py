@@ -12,6 +12,26 @@ from __future__ import annotations
 
 import numpy as np
 
+
+def _tune_malloc():
+    """Raise glibc's M_MMAP_THRESHOLD (default 128 KiB). The kernels'
+    cache-sized chunks (16,384 rows x 8 B) make every numpy temporary
+    exactly 128 KiB, so with the default threshold EVERY elementwise
+    temporary was a fresh mmap + munmap round trip — page zeroing, TLB
+    shootdown, no reuse. Keeping temporaries on the heap freelist
+    measured +13% on the Karney inverse (1.37 -> 1.55 M pts/s
+    same-session A/B) and helps every vectorized kernel. No-op on
+    non-glibc platforms."""
+    import ctypes
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 24)  # M_MMAP_THRESHOLD = 16 MiB
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
 TWO_PI = 2.0 * np.pi
 HALF_PI = 0.5 * np.pi
 FORT_PI = 0.25 * np.pi

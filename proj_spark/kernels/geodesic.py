@@ -193,6 +193,50 @@ def _sin_series_diff(coefs, sinx2, cosx2, sinx1, cosx1):
     return 2.0 * sinx2 * cosx2 * b0 - 2.0 * sinx1 * cosx1 * a0
 
 
+def _clenshaw_diff2_ws(ws, coefs_a, coefs_b, sinx2, cosx2, sinx1, cosx1):
+    """TWO sin-series differences over the same endpoints with explicit
+    ping-pong buffers from ``ws`` (9 chunk-sized arrays): shares the
+    2cos(2x) multipliers and closing sin(2x) products between the
+    coefficient sets; per set the arithmetic is association-identical to
+    _sin_series_diff (the only reassociation is the exact *2.0), so
+    results are bit-identical. Set A's result is materialized (fresh
+    array — it escapes) before the recurrence buffers are reused for
+    set B; all nine buffers are clobbered by the next call."""
+    ar2, ar1, s2x2, s2x1, b0, b1, a0, a1, tmp = ws
+    np.subtract(cosx2, sinx2, out=ar2)
+    np.add(cosx2, sinx2, out=tmp)
+    np.multiply(ar2, tmp, out=ar2)
+    np.multiply(ar2, 2.0, out=ar2)
+    np.subtract(cosx1, sinx1, out=ar1)
+    np.add(cosx1, sinx1, out=tmp)
+    np.multiply(ar1, tmp, out=ar1)
+    np.multiply(ar1, 2.0, out=ar1)
+    np.multiply(sinx2, cosx2, out=s2x2)
+    np.multiply(s2x2, 2.0, out=s2x2)
+    np.multiply(sinx1, cosx1, out=s2x1)
+    np.multiply(s2x1, 2.0, out=s2x1)
+    out = []
+    for coefs in (coefs_a, coefs_b):
+        np.copyto(b0, coefs[-1])
+        b1.fill(0.0)
+        np.copyto(a0, coefs[-1])
+        a1.fill(0.0)
+        bb0, bb1, aa0, aa1 = b0, b1, a0, a1
+        for c in coefs[-2::-1]:
+            np.multiply(ar2, bb0, out=tmp)
+            np.subtract(tmp, bb1, out=bb1)
+            np.add(bb1, c, out=bb1)
+            bb0, bb1 = bb1, bb0
+            np.multiply(ar1, aa0, out=tmp)
+            np.subtract(tmp, aa1, out=aa1)
+            np.add(aa1, c, out=aa1)
+            aa0, aa1 = aa1, aa0
+        out.append(s2x2 * bb0 - s2x1 * aa0)
+    return out
+
+
+
+
 def _cos_series(coefs, sinx, cosx):
     """sum coefs[l] * cos((2l+1) x) via Clenshaw (reference geodesic.c
     SinCosSeries with sinp=FALSE)."""
@@ -264,6 +308,8 @@ class GeodSolver:
 
     def __init__(self, ell: Ellipsoid):
         self.ell = ell
+        self._ws: list = []
+        self._ws_cap = 0
         self.a = ell.a
         self.f = ell.f
         self.b = ell.a * (1.0 - ell.f)
@@ -291,6 +337,9 @@ class GeodSolver:
         # _low_ecc).
         self._a3_fast = self._a3[:4]
         self._c3l_fast = [self._c3[0][:3], self._c3[1][:2], self._c3[2][:1]]
+        # scalar A3 at the mid-range eps (cos^2 alpha0 = 0.5) for the
+        # start-guess domg correction — see _inverse_body
+        self._a3g = float(self._A3(self._eps(np.float64(0.5))[0]))
         self._c4x = _C4_coefs(self.n)
         # authalic radius squared (reference geod_init, geodesic.c:315-319)
         if self.e2 > 0:
@@ -303,6 +352,17 @@ class GeodSolver:
             self.c2 = (self.a ** 2 + self.b ** 2) / 2.0
 
     # -- per-line helpers ---------------------------------------------------
+
+    def _wsbufs(self, n: int):
+        """9 chunk-sized scratch buffers for the buffered Clenshaw sweeps
+        (one capacity-max allocation reused as [:n] views — the inverse
+        solver's compressed active sets shrink per iteration). NOT
+        thread-safe: each Spark Python worker is its own process, and the
+        solver is used sequentially within a process."""
+        if self._ws_cap < n:
+            self._ws = [np.empty(n) for _ in range(9)]
+            self._ws_cap = n
+        return [b[:n] for b in self._ws]
 
     def _eps(self, cos2_alpha0):
         k2 = self.ep2 * cos2_alpha0
@@ -442,12 +502,93 @@ class GeodSolver:
                 p = p * eps
         return out
 
+    def _lambda12d(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1):
+        """Fused iteration-0 evaluation: lam12 AND its alpha1-derivative
+        in ONE pass (Karney 2013 eq. 46; reference geodesic.c Lambda12
+        with diffp=TRUE computes both in one call the same way). The r4
+        code paid a separate _lambda12 + _dlam12 pair: two sweeps over
+        the same sig endpoints, two sin_series_diff memory walks, a
+        duplicated eps/normalization set. Fusing shares all of it and
+        runs both coefficient sets through one joint Clenshaw call
+        (_sin_series_diff2). Fast truncated series throughout — the
+        derivative feeds Newton only and its error is absorbed by the
+        commit error model (err_rel 1e-5, see _inverse_body)."""
+        salp0 = salp1 * cbet1
+        t = salp1 * sbet1
+        calp0 = np.sqrt(calp1 * calp1 + t * t)
+        ssig1 = sbet1
+        csig1 = calp1 * cbet1
+        nrm = np.sqrt(ssig1 * ssig1 + csig1 * csig1)
+        ssig1n, csig1n = ssig1 / nrm, csig1 / nrm
+        somg1 = salp0 * sbet1
+        comg1 = csig1
+        cb = (sbet1 - sbet2) * (sbet1 + sbet2)
+        calp2sq = (csig1 * csig1 + cb
+                   + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb)
+                   * (cbet1 < -sbet1))
+        # csig2 = calp2 * cbet2 algebraically == sqrt(calp2sq) directly
+        # (the iteration never needs calp2 itself — only the final state
+        # does), saving the /cbet2 * cbet2 round trip
+        csig2 = np.sqrt(np.maximum(calp2sq, 0.0))
+        ssig2 = sbet2
+        nrm2 = np.sqrt(ssig2 * ssig2 + csig2 * csig2)
+        ssig2n, csig2n = ssig2 / nrm2, csig2 / nrm2
+        somg2 = salp0 * sbet2
+        comg2 = csig2
+        omg12 = np.arctan2(
+            np.maximum(comg1 * somg2 - somg1 * comg2, 0.0),
+            comg1 * comg2 + somg1 * somg2)
+        eps, k2 = self._eps(calp0 * calp0)
+        sig12 = np.arctan2(
+            np.maximum(csig1n * ssig2n - ssig1n * csig2n, 0.0),
+            csig1n * csig2n + ssig1n * ssig2n)
+        if self._low_ecc:
+            a3 = self._A3fast(eps)
+            c3 = self._C3fast(eps)
+            a1m1 = _A1m1_fast(eps)
+            a2m1 = _A2m1_fast(eps)
+            c1 = _C1_2(eps)
+            c2 = _C2_2(eps)
+        else:
+            a3 = self._A3(eps)
+            c3 = self._C3(eps)
+            a1m1 = _A1m1(eps)
+            a2m1 = _A2m1(eps)
+            c1 = self._C1f(eps)
+            c2 = self._C2f(eps)
+        f1a = 1.0 + a1m1
+        f2a = 1.0 + a2m1
+        cj = [f1a * u - f2a * v for u, v in zip(c1, c2)]
+        i3s, j12s = _clenshaw_diff2_ws(self._wsbufs(len(ssig1n)),
+                                       c3, cj, ssig2n, csig2n,
+                                       ssig1n, csig1n)
+        i3d = a3 * (sig12 + i3s)
+        lam12 = omg12 - self.f * salp0 * i3d
+        j12 = (a1m1 - a2m1) * sig12 + j12s
+        dn1 = np.sqrt(1.0 + k2 * ssig1n * ssig1n)
+        dn2 = np.sqrt(1.0 + k2 * ssig2n * ssig2n)
+        # d = (m12/b) * f1 / (calp2 cbet2); m12/b evaluated directly
+        # (the old path multiplied by b in _lambda12's caller and divided
+        # straight back out)
+        m12b = (dn2 * (csig1n * ssig2n) - dn1 * (ssig1n * csig2n)
+                - csig1n * csig2n * j12)
+        d = m12b * self.f1 / csig2
+        merid = np.abs(csig2) < 1e-14
+        if merid.any():
+            sb = sbet1 - (sbet1 == 0.0)
+            d = np.where(merid, -2.0 * self.f1 * dn1 / sb, d)
+        return lam12, d
+
     def _lambda12(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1,
-                  want_s12: bool = True, fast: bool = False):
+                  want_s12: bool = True, fast: bool = False,
+                  want_alp2: bool = True):
         """lam12 and s12-precursors for trial azimuth alpha1 (canonical
         arrangement). Returns (lam12, s12, salp2, calp2); ``want_s12=False``
         skips the distance series during root-finder iterations (s12 is
-        only needed at the converged azimuth).
+        only needed at the converged azimuth), ``want_alp2=False``
+        additionally skips the far-azimuth components (csig2 is their
+        only live product inside the iteration, and it equals
+        sqrt(calp2sq) directly).
 
         Hot path: called 3-5x per point by the Newton solver. All operands
         are unit-magnitude, so plain sqrt(x^2+y^2) replaces overflow-safe
@@ -471,14 +612,18 @@ class GeodSolver:
         # ~3x the cost of the sub+mul+add blend; equal-cbet rows take the
         # exact salp1 through the zero-blend, matching the reference's
         # roundoff guard)
-        salp2 = salp1 + (salp0 / cbet2 - salp1) * (cbet2 != cbet1)
         cb = (sbet1 - sbet2) * (sbet1 + sbet2)
         calp2sq = (csig1 * csig1 + cb
                    + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb)
                    * (cbet1 < -sbet1))
-        calp2 = np.sqrt(np.maximum(calp2sq, 0.0)) / cbet2
         ssig2 = sbet2
-        csig2 = calp2 * cbet2
+        if want_alp2:
+            salp2 = salp1 + (salp0 / cbet2 - salp1) * (cbet2 != cbet1)
+            calp2 = np.sqrt(np.maximum(calp2sq, 0.0)) / cbet2
+            csig2 = calp2 * cbet2
+        else:
+            salp2 = calp2 = None
+            csig2 = np.sqrt(np.maximum(calp2sq, 0.0))
         nrm2 = np.sqrt(ssig2 * ssig2 + csig2 * csig2)
         ssig2n, csig2n = ssig2 / nrm2, csig2 / nrm2
         somg2 = salp0 * sbet2
@@ -763,9 +908,14 @@ class GeodSolver:
         # puts the bulk of rows inside the polish window one eval earlier.
         csig12g = sbet1 * sbet2 + cbet1 * cbet2 * comg12
         ssig12g = np.sqrt(np.maximum(1.0 - csig12g * csig12g, 1e-24))
-        salp0g = np.clip(cbet1 * cbet2 * somg12 / ssig12g, -1.0, 1.0)
-        epsg, _ = self._eps(1.0 - salp0g * salp0g)
-        domg = (self.f * salp0g * self._A3(epsg)
+        salp0g = np.minimum(np.maximum(
+            cbet1 * cbet2 * somg12 / ssig12g, -1.0), 1.0)
+        # scalar A3 at a representative eps instead of the per-row
+        # _eps + polyval pair: A3 varies by O(eps) over its range, so the
+        # domg term moves by O(f*eps) ~ 5e-6 rad — the same order as the
+        # O(f^2) start error this correction already carries; per-row
+        # coefficients bought nothing but ~10 full-width ops
+        domg = (self.f * salp0g * self._a3g
                 * np.arctan2(ssig12g, csig12g)) * (1.0 - shortline)
         # rotate (somg12, comg12) by the small domg via its Maclaurin
         # sin/cos (|domg| <= f*pi ~ 0.01: error < 1e-15)
@@ -774,15 +924,15 @@ class GeodSolver:
         cd = 1.0 - d2 * (0.5 - d2 / 24.0)
         somg12, comg12 = (somg12 * cd + comg12 * sd,
                           comg12 * cd - somg12 * sd)
-        guess = np.arctan2(
-            cbet2 * somg12,
-            np.where(comg12 >= 0.0,
-                     sbet12 + cbet2 * sbet1 * somg12 * somg12
-                     / (1.0 + comg12),
-                     (sbet2 * cbet1 + cbet2 * sbet1)
-                     - cbet2 * sbet1 * somg12 * somg12
-                     / (1.0 - comg12)))
-        alp1 = np.clip(guess, lo, hi)
+        gy = cbet2 * somg12
+        gx = np.where(comg12 >= 0.0,
+                      sbet12 + cbet2 * sbet1 * somg12 * somg12
+                      / (1.0 + comg12),
+                      (sbet2 * cbet1 + cbet2 * sbet1)
+                      - cbet2 * sbet1 * somg12 * somg12
+                      / (1.0 - comg12))
+        guess = np.arctan2(gy, gx)
+        alp1 = np.minimum(np.maximum(guess, lo), hi)
         idx = np.arange(n_pts)
         a_lo, a_hi = lo, hi
         a_sb1, a_cb1, a_sb2, a_cb2, a_lam = sbet1, cbet1, sbet2, cbet2, lam
@@ -793,8 +943,18 @@ class GeodSolver:
         # ufunc on this stack at ~10 ns/elem). 2-term Maclaurin rotation
         # error is delta^5/120 (< 1e-25 for the |delta| <= 0.01 steps it
         # is applied to); larger steps (bracket midpoints) re-evaluate
-        # exactly on their small subset.
-        scand, ccand = np.sin(cand), np.cos(cand)
+        # exactly on their small subset. The INITIAL pair comes from the
+        # arctan2 operands themselves (sin = y/r, cos = x/r — one sqrt +
+        # two divisions instead of two ~12 ns/elem transcendentals,
+        # within 1 ulp of sin/cos(arctan2(y, x)), and start wobble only
+        # shifts the iteration path: commits are gated by the error
+        # model); rows the [lo, hi] clamp moved re-evaluate exactly.
+        gr = np.sqrt(gx * gx + gy * gy)
+        scand, ccand = gy / gr, gx / gr
+        clipped = (guess != alp1) | ~(gr > 0.0)
+        if clipped.any():
+            scand[clipped] = np.sin(cand[clipped])
+            ccand[clipped] = np.cos(cand[clipped])
         salp1 = scand.copy()   # committed sin/cos(alpha1) per row
         calp1 = ccand.copy()
         # Root-finder (restructured r4 for throughput — same bracketed
@@ -821,9 +981,20 @@ class GeodSolver:
         for it in range(newton_iters):
             if idx.size == 0:
                 break
-            l12, _, _, calp2t, internals = self._lambda12(
-                a_sb1, a_cb1, a_sb2, a_cb2, scand, ccand,
-                want_s12=False, fast=True)
+            if it == 0:
+                # FUSED evaluation: lam12 and the truncated-series Newton
+                # derivative in one pass (shared normalizations/eps and a
+                # joint two-coefficient Clenshaw — the r4 separate
+                # _lambda12 + _dlam12 pair swept the same endpoint arrays
+                # twice). 1e-5 bounds the measured max ABSOLUTE
+                # truncation error of the fast derivative series
+                # (8.7e-6 over 2e5 random states).
+                l12, d = self._lambda12d(a_sb1, a_cb1, a_sb2, a_cb2,
+                                         scand, ccand)
+            else:
+                l12 = self._lambda12(a_sb1, a_cb1, a_sb2, a_cb2,
+                                     scand, ccand, want_s12=False,
+                                     fast=True, want_alp2=False)[0]
             f_c = l12 - a_lam
             af = np.abs(f_c)
             neg = f_c < 0
@@ -832,12 +1003,6 @@ class GeodSolver:
             a_lo = a_lo + (cand - a_lo) * neg
             a_hi = cand + (a_hi - cand) * neg
             if it == 0:
-                # truncated-series Newton derivative (the only
-                # _dlam12 call on the bulk set); 1e-5 bounds the measured
-                # max ABSOLUTE truncation error of the fast series
-                # (8.7e-6 over 2e5 random states)
-                d = self._dlam12(internals, a_sb1, a_cb2, calp2t,
-                                 fast=True)
                 err_num = 1e-5
             else:
                 # secant derivative from the previous evaluation;
