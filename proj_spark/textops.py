@@ -408,7 +408,19 @@ def ngram_jaccard_df(spark, df_cap: int = 64):
     as ngram_jaccard_sql('spark', df_cap). The SQL spelling references
     the shingle relation SIX times, and CTE references defeat the cache
     (see minhash_pairs_df), so the explode+distinct pipeline re-ran ~6x
-    from parquet; the DataFrame chain reads the one InMemoryRelation."""
+    from parquet; the DataFrame chain reads the one InMemoryRelation.
+
+    Scale shape (VERDICT r4 #6): candidates sharing >= 1 cold (df <=
+    df_cap) shingle numbered 20.6 M at sf1 for ~23 k true pairs, and
+    verifying each against the FULL shingle sets pushed ~3.5 G rows
+    through the verify join (sf1 wall 224 s). The verify now runs only
+    on pairs that can possibly pass: the per-pair cold-intersection
+    count ni_cold falls out of the candidate join for free, and
+    ni <= ni_cold + min(hot1, hot2) is an EXACT upper bound on the full
+    intersection (non-cold shared shingles are hot on both sides), so
+    jac_ub = ub/(n1+n2-ub) < 0.6 prunes with zero loss. sf1: 20.6 M ->
+    23 k verified pairs, wall 224 -> 46 s; identical output (the DuckDB
+    oracle is unchanged)."""
     from pyspark.sql import functions as F
 
     sh = spark.table(SH_SETS_VIEW)
@@ -416,16 +428,24 @@ def ngram_jaccard_df(spark, df_cap: int = 64):
     coldsh = (sh.groupBy("sh").agg(F.count("*").alias("df"))
                 .filter(F.col("df") <= df_cap).select("sh"))
     cold = sh.join(coldsh, "sh")
+    csz = cold.groupBy("doc_id").agg(F.count("*").alias("c"))
     c1 = cold.select(F.col("doc_id").alias("id1"), "sh")
     c2 = cold.select(F.col("doc_id").alias("id2"), "sh")
-    cand = (c1.join(c2, "sh").filter(F.col("id1") < F.col("id2"))
-              .select("id1", "id2").distinct())
-    a = sh.select(F.col("doc_id").alias("id1"), "sh")
-    b = sh.select(F.col("doc_id").alias("id2"), "sh")
-    inter = (cand.join(a, "id1").join(b, ["id2", "sh"])
-                 .groupBy("id1", "id2").agg(F.count("*").alias("ni")))
+    nic = (c1.join(c2, "sh").filter(F.col("id1") < F.col("id2"))
+             .groupBy("id1", "id2").agg(F.count("*").alias("ni_cold")))
     n1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("_n1"))
     n2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("_n2"))
+    k1 = csz.select(F.col("doc_id").alias("id1"), F.col("c").alias("_c1"))
+    k2 = csz.select(F.col("doc_id").alias("id2"), F.col("c").alias("_c2"))
+    w = nic.join(n1, "id1").join(n2, "id2").join(k1, "id1").join(k2, "id2")
+    ub_ni = F.col("ni_cold") + F.least(F.col("_n1") - F.col("_c1"),
+                                       F.col("_n2") - F.col("_c2"))
+    jac_ub = ub_ni / (F.col("_n1") + F.col("_n2") - ub_ni)
+    surv = w.filter(jac_ub >= 0.6).select("id1", "id2")
+    a = sh.select(F.col("doc_id").alias("id1"), "sh")
+    b = sh.select(F.col("doc_id").alias("id2"), "sh")
+    inter = (surv.join(a, "id1").join(b, ["id2", "sh"])
+                 .groupBy("id1", "id2").agg(F.count("*").alias("ni")))
     jac = F.col("ni") / (F.col("_n1") + F.col("_n2") - F.col("ni"))
     return (inter.join(n1, "id1").join(n2, "id2")
                  .filter(jac >= 0.6)
