@@ -609,9 +609,12 @@ class GeodSolver:
 
         # alpha2 from sin(alpha) cos(beta) = sin(alpha0); errstate hoisted
         # to _inverse_impl, selections are arithmetic blends (np.where is
-        # ~3x the cost of the sub+mul+add blend; equal-cbet rows take the
-        # exact salp1 through the zero-blend, matching the reference's
-        # roundoff guard)
+        # ~3x the cost of the sub+mul+add blend). Equal-cbet rows take the
+        # exact salp1 through the zero-blend — the same roundoff guard the
+        # reference applies; on the TAKEN branch the blend
+        # salp1 + (salp0/cbet2 - salp1) carries one extra rounding vs the
+        # reference's direct salp0/cbet2 (<= 1 ulp, absorbed by the
+        # 0.5 mm gie tolerance — this is a near-match, not bit parity)
         cb = (sbet1 - sbet2) * (sbet1 + sbet2)
         calp2sq = (csig1 * csig1 + cb
                    + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb)
@@ -1040,6 +1043,13 @@ class GeodSolver:
             # — dropping the ~13 full-width commit-test passes on the
             # first (always full-size) iteration is a measured ~3% win;
             # any row that would have qualified simply commits at it 1.
+            # This also defers the af < 5e-15 and bracket-width exits:
+            # a row already converged at the starting guess (e.g. a short
+            # line) takes one extra Newton step and commits the it-1
+            # candidate instead of the it-0 one — harmless (the extra
+            # step moves the angle by at most the step size, which the
+            # af floor bounds at ~5e-15/d rad), but a behavior change vs
+            # committing at it 0, not just a cost optimization.
             if it > 0:
                 polish = (af * err_num < TOL_ALP * d * d) & ~bad \
                     & (af < 1e-8) & (d >= 0.1)
@@ -1207,10 +1217,12 @@ class GeodSolver:
 
         # undo canonicalization: swap exchanges the azimuth pair and reverses
         # the line (negate sin AND cos = +180 deg); lonsign flips sin,
-        # latsign flips cos. Blends instead of np.where: the swap
-        # selection a + (b-a)*cond is ulp-exact here because non-swapped
-        # rows take a + 0.0 and swapped rows' azimuths feed arctan2
-        # (ratio-invariant to the <=1-ulp blend wobble... signs exact).
+        # latsign flips cos. Blends instead of np.where: non-swapped rows
+        # take a + 0.0 (exact) and the sign flips are exact +-1 multiplies;
+        # swapped rows' blended sin/cos carry <= 1 ulp of wobble into
+        # arctan2 — within the output tolerance, not bit-identical to
+        # selecting the taken branch (same 1-ulp class as the bracket
+        # blends in the Newton loop, which accrue ~1 ulp per iteration).
         sw = 1.0 - 2.0 * swapp
         if want_area:
             S12 = self._area_s12(sbet1, cbet1, sbet2, cbet2,
