@@ -51,6 +51,10 @@ HEADLINE = [
     "zonal_stats",              # rasterize + zonal statistics round trip
     "tile_pyramid_rollup",      # z8 -> z4 quadtree pyramid
     "within_radius_shuffled",   # both-sides-large radius join (no broadcast)
+    # round-5 additions
+    "isea_hex_counts",          # aperture-7 rollup on the real ISEA plane
+    "ann_ivf_probe_recall",     # partial-probe IVF recall curve
+    "embedding_near_dup",       # derived-banding hyperplane LSH
 ]
 
 
@@ -185,6 +189,10 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = False)
     from proj_spark import querylib
 
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # single-core numbers BEFORE the Spark JVM exists: its 32 task threads
+    # + heap pressure depress the in-process kernel microbench ~15%
+    host_probe = _host_probe()
+    kernels = _kernel_microbench()
     spark = get_spark("proj_spark_bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     querylib.register_views(spark, sf_dir)
@@ -219,8 +227,8 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = False)
     point_q = ["webmerc_fwd", "utm_fwd", "lcc_fwd", "cart_fwd"]
     pts_per_sec = round(sum(n_points / timings[q] for q in point_q) / len(point_q))
     out = {
-        "host_probe": _host_probe(),
-        "kernel_mpts_per_sec_1core": _kernel_microbench(),
+        "host_probe": host_probe,
+        "kernel_mpts_per_sec_1core": kernels,
         "fused_transform_12m": _scaled_transform(spark),
         "metric": "headline query suite wall time",
         "value": total,
