@@ -502,7 +502,8 @@ class GeodSolver:
                 p = p * eps
         return out
 
-    def _lambda12d(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1):
+    def _lambda12d(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1,
+                   k_c2=None):
         """Fused iteration-0 evaluation: lam12 AND its alpha1-derivative
         in ONE pass (Karney 2013 eq. 46; reference geodesic.c Lambda12
         with diffp=TRUE computes both in one call the same way). The r4
@@ -512,43 +513,58 @@ class GeodSolver:
         runs both coefficient sets through one joint Clenshaw call
         (_sin_series_diff2). Fast truncated series throughout — the
         derivative feeds Newton only and its error is absorbed by the
-        commit error model (err_rel 1e-5, see _inverse_body)."""
+        commit error model (err_rel 1e-5, see _inverse_body).
+
+        r5 op-count cuts (same math, fewer full-width passes):
+        - the sig normalizers are NOT recomputed: sbet1^2 + (calp1
+          cbet1)^2 = 1 - (salp1 cbet1)^2 = calp0^2 exactly (Karney's
+          sin(alp) cos(bet) = sin(alp0) invariant), and identically at
+          point 2, so both endpoints normalize by the already-computed
+          calp0 (one reciprocal, four muls — replaces two sqrt chains);
+          the <= 1 ulp difference vs the explicit sqrt only perturbs the
+          series inputs at 1e-16.
+        - arctan2 is scale-invariant, so omg12/sig12 use the RAW
+          (unnormalized) components, and the omg cross equals
+          salp0 * (sig cross) — one shared clamped cross.
+        - calp2sq's iteration-invariant part (the cb / polar-branch
+          blend) is hoisted to the caller via ``k_c2``.
+        - the combined Newton coefficients are evaluated in closed form:
+          with f1a = 1/(1-eps), f2a = 1/(1+eps) (the truncated A series),
+          cj0 = eps (e2/8 - 1 + eps e2/4)/(1-e2), cj1 = -e2 (2-eps)/
+          (8 (1-e2)), a1m1-a2m1 = 2 eps/(1-e2) — one shared 1/(1-e2)
+          instead of rebuilding four coefficient arrays."""
         salp0 = salp1 * cbet1
         t = salp1 * sbet1
         calp0 = np.sqrt(calp1 * calp1 + t * t)
-        ssig1 = sbet1
+        rc = 1.0 / calp0
         csig1 = calp1 * cbet1
-        nrm = np.sqrt(ssig1 * ssig1 + csig1 * csig1)
-        ssig1n, csig1n = ssig1 / nrm, csig1 / nrm
-        somg1 = salp0 * sbet1
-        comg1 = csig1
-        cb = (sbet1 - sbet2) * (sbet1 + sbet2)
-        calp2sq = (csig1 * csig1 + cb
-                   + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb)
-                   * (cbet1 < -sbet1))
-        # csig2 = calp2 * cbet2 algebraically == sqrt(calp2sq) directly
-        # (the iteration never needs calp2 itself — only the final state
-        # does), saving the /cbet2 * cbet2 round trip
-        csig2 = np.sqrt(np.maximum(calp2sq, 0.0))
-        ssig2 = sbet2
-        nrm2 = np.sqrt(ssig2 * ssig2 + csig2 * csig2)
-        ssig2n, csig2n = ssig2 / nrm2, csig2 / nrm2
-        somg2 = salp0 * sbet2
-        comg2 = csig2
-        omg12 = np.arctan2(
-            np.maximum(comg1 * somg2 - somg1 * comg2, 0.0),
-            comg1 * comg2 + somg1 * somg2)
-        eps, k2 = self._eps(calp0 * calp0)
-        sig12 = np.arctan2(
-            np.maximum(csig1n * ssig2n - ssig1n * csig2n, 0.0),
-            csig1n * csig2n + ssig1n * ssig2n)
+        ssig1n = sbet1 * rc
+        csig1n = csig1 * rc
+        if k_c2 is None:
+            cb = (sbet1 - sbet2) * (sbet1 + sbet2)
+            k_c2 = cb + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb) \
+                * (cbet1 < -sbet1)
+        csig2 = np.sqrt(np.maximum(csig1 * csig1 + k_c2, 0.0))
+        ssig2n = sbet2 * rc
+        csig2n = csig2 * rc
+        cdot = csig1 * csig2
+        cross = np.maximum(csig1 * sbet2 - sbet1 * csig2, 0.0)
+        sb12 = sbet1 * sbet2
+        sig12 = np.arctan2(cross, cdot + sb12)
+        # salp0 >= 0 in the canonical arrangement, so the clamped omg
+        # cross is salp0 * (clamped sig cross)
+        omg12 = np.arctan2(salp0 * cross, cdot + (salp0 * salp0) * sb12)
+        k2 = self.ep2 * (calp0 * calp0)
+        seps = np.sqrt(1.0 + k2)
+        eps = k2 / ((seps + 1.0) * (seps + 1.0))
         if self._low_ecc:
             a3 = self._A3fast(eps)
             c3 = self._C3fast(eps)
-            a1m1 = _A1m1_fast(eps)
-            a2m1 = _A2m1_fast(eps)
-            c1 = _C1_2(eps)
-            c2 = _C2_2(eps)
+            e2 = eps * eps
+            r1me2 = 1.0 / (1.0 - e2)
+            adiff = 2.0 * eps * r1me2
+            cj = [eps * r1me2 * (e2 * (0.125 + 0.25 * eps) - 1.0),
+                  e2 * r1me2 * (0.125 * eps - 0.25)]
         else:
             a3 = self._A3(eps)
             c3 = self._C3(eps)
@@ -556,17 +572,18 @@ class GeodSolver:
             a2m1 = _A2m1(eps)
             c1 = self._C1f(eps)
             c2 = self._C2f(eps)
-        f1a = 1.0 + a1m1
-        f2a = 1.0 + a2m1
-        cj = [f1a * u - f2a * v for u, v in zip(c1, c2)]
+            f1a = 1.0 + a1m1
+            f2a = 1.0 + a2m1
+            adiff = a1m1 - a2m1
+            cj = [f1a * u - f2a * v for u, v in zip(c1, c2)]
         i3s, j12s = _clenshaw_diff2_ws(self._wsbufs(len(ssig1n)),
                                        c3, cj, ssig2n, csig2n,
                                        ssig1n, csig1n)
         i3d = a3 * (sig12 + i3s)
         lam12 = omg12 - self.f * salp0 * i3d
-        j12 = (a1m1 - a2m1) * sig12 + j12s
-        dn1 = np.sqrt(1.0 + k2 * ssig1n * ssig1n)
-        dn2 = np.sqrt(1.0 + k2 * ssig2n * ssig2n)
+        j12 = adiff * sig12 + j12s
+        dn1 = np.sqrt(1.0 + k2 * (ssig1n * ssig1n))
+        dn2 = np.sqrt(1.0 + k2 * (ssig2n * ssig2n))
         # d = (m12/b) * f1 / (calp2 cbet2); m12/b evaluated directly
         # (the old path multiplied by b in _lambda12's caller and divided
         # straight back out)
@@ -581,7 +598,7 @@ class GeodSolver:
 
     def _lambda12(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1,
                   want_s12: bool = True, fast: bool = False,
-                  want_alp2: bool = True):
+                  want_alp2: bool = True, k_c2=None):
         """lam12 and s12-precursors for trial azimuth alpha1 (canonical
         arrangement). Returns (lam12, s12, salp2, calp2); ``want_s12=False``
         skips the distance series during root-finder iterations (s12 is
@@ -590,22 +607,18 @@ class GeodSolver:
         only live product inside the iteration, and it equals
         sqrt(calp2sq) directly).
 
-        Hot path: called 3-5x per point by the Newton solver. All operands
-        are unit-magnitude, so plain sqrt(x^2+y^2) replaces overflow-safe
-        hypot, and the eps-dependent series coefficients (A3/C3) are
-        evaluated once per call instead of once per endpoint."""
+        Hot path: called 2-4x per point by the Newton solver; the sig
+        normalizers reuse calp0 (exact identity — see _lambda12d), the
+        omg12/sig12 angles come from raw components via arctan2's scale
+        invariance with one shared clamped cross, and calp2sq's
+        iteration-invariant part arrives precomputed as ``k_c2``."""
         salp0 = salp1 * cbet1
         t = salp1 * sbet1
         calp0 = np.sqrt(calp1 * calp1 + t * t)
-
-        ssig1 = sbet1
+        rc = 1.0 / calp0
         csig1 = calp1 * cbet1
-        # array/array division: numpy's scalar/array reciprocal path is
-        # ~6x slower than the vectorized a/b loop
-        nrm = np.sqrt(ssig1 * ssig1 + csig1 * csig1)
-        ssig1n, csig1n = ssig1 / nrm, csig1 / nrm
-        somg1 = salp0 * sbet1
-        comg1 = csig1
+        ssig1n = sbet1 * rc
+        csig1n = csig1 * rc
 
         # alpha2 from sin(alpha) cos(beta) = sin(alpha0); errstate hoisted
         # to _inverse_impl, selections are arithmetic blends (np.where is
@@ -615,34 +628,28 @@ class GeodSolver:
         # salp1 + (salp0/cbet2 - salp1) carries one extra rounding vs the
         # reference's direct salp0/cbet2 (<= 1 ulp, absorbed by the
         # 0.5 mm gie tolerance — this is a near-match, not bit parity)
-        cb = (sbet1 - sbet2) * (sbet1 + sbet2)
-        calp2sq = (csig1 * csig1 + cb
-                   + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb)
-                   * (cbet1 < -sbet1))
-        ssig2 = sbet2
+        if k_c2 is None:
+            cb = (sbet1 - sbet2) * (sbet1 + sbet2)
+            k_c2 = cb + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb) \
+                * (cbet1 < -sbet1)
+        csig2 = np.sqrt(np.maximum(csig1 * csig1 + k_c2, 0.0))
         if want_alp2:
             salp2 = salp1 + (salp0 / cbet2 - salp1) * (cbet2 != cbet1)
-            calp2 = np.sqrt(np.maximum(calp2sq, 0.0)) / cbet2
-            csig2 = calp2 * cbet2
+            calp2 = csig2 / cbet2
         else:
             salp2 = calp2 = None
-            csig2 = np.sqrt(np.maximum(calp2sq, 0.0))
-        nrm2 = np.sqrt(ssig2 * ssig2 + csig2 * csig2)
-        ssig2n, csig2n = ssig2 / nrm2, csig2 / nrm2
-        somg2 = salp0 * sbet2
-        comg2 = csig2
+        ssig2n = sbet2 * rc
+        csig2n = csig2 * rc
 
-        omg12 = np.arctan2(
-            np.maximum(comg1 * somg2 - somg1 * comg2, 0.0),
-            comg1 * comg2 + somg1 * somg2)
+        cdot = csig1 * csig2
+        cross = np.maximum(csig1 * sbet2 - sbet1 * csig2, 0.0)
+        sb12 = sbet1 * sbet2
+        sig12 = np.arctan2(cross, cdot + sb12)
+        omg12 = np.arctan2(salp0 * cross, cdot + (salp0 * salp0) * sb12)
 
-        eps, k2 = self._eps(calp0 * calp0)
-        # arc length sig12 in [0, pi] via ONE arctan2 of the cross/dot
-        # forms (reference geodesic.c Lambda12:1122-1125) — arctan2 has no
-        # SIMD loop in numpy, so halving the count is a real win
-        sig12 = np.arctan2(
-            np.maximum(csig1n * ssig2n - ssig1n * csig2n, 0.0),
-            csig1n * csig2n + ssig1n * ssig2n)
+        k2 = self.ep2 * (calp0 * calp0)
+        seps = np.sqrt(1.0 + k2)
+        eps = k2 / ((seps + 1.0) * (seps + 1.0))
         # shared-coefficient I3 difference: A3/C3 depend only on eps
         if fast and self._low_ecc:
             a3 = self._A3fast(eps)
@@ -665,32 +672,35 @@ class GeodSolver:
         internals = (eps, k2, ssig1n, csig1n, ssig2n, csig2n, sig12)
         return lam12, s12, salp2, calp2, internals
 
-    def _final_state(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1):
+    def _final_state(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1,
+                     k_c2=None):
         """Distance + far azimuth at the CONVERGED alpha1 — the quantities
         lambda12 iteration skipped. Omits the omg12/I3 lambda series (not
         needed once the root is found), so the post-loop full-array pass
-        costs ~half a _lambda12."""
+        costs ~half a _lambda12. Same identity-normalization and hoisted
+        k_c2 op cuts as _lambda12d."""
         salp0 = salp1 * cbet1
         t = salp1 * sbet1
         calp0 = np.sqrt(calp1 * calp1 + t * t)
-        ssig1 = sbet1
+        rc = 1.0 / calp0
         csig1 = calp1 * cbet1
-        nrm = np.sqrt(ssig1 * ssig1 + csig1 * csig1)
-        ssig1n, csig1n = ssig1 / nrm, csig1 / nrm
+        ssig1n = sbet1 * rc
+        csig1n = csig1 * rc
         salp2 = salp1 + (salp0 / cbet2 - salp1) * (cbet2 != cbet1)
-        cb = (sbet1 - sbet2) * (sbet1 + sbet2)
-        calp2sq = (csig1 * csig1 + cb
-                   + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb)
-                   * (cbet1 < -sbet1))
-        calp2 = np.sqrt(np.maximum(calp2sq, 0.0)) / cbet2
-        ssig2 = sbet2
-        csig2 = calp2 * cbet2
-        nrm2 = np.sqrt(ssig2 * ssig2 + csig2 * csig2)
-        ssig2n, csig2n = ssig2 / nrm2, csig2 / nrm2
-        eps, k2 = self._eps(calp0 * calp0)
+        if k_c2 is None:
+            cb = (sbet1 - sbet2) * (sbet1 + sbet2)
+            k_c2 = cb + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb) \
+                * (cbet1 < -sbet1)
+        csig2 = np.sqrt(np.maximum(csig1 * csig1 + k_c2, 0.0))
+        calp2 = csig2 / cbet2
+        ssig2n = sbet2 * rc
+        csig2n = csig2 * rc
+        k2 = self.ep2 * (calp0 * calp0)
+        seps = np.sqrt(1.0 + k2)
+        eps = k2 / ((seps + 1.0) * (seps + 1.0))
         sig12 = np.arctan2(
-            np.maximum(csig1n * ssig2n - ssig1n * csig2n, 0.0),
-            csig1n * csig2n + ssig1n * ssig2n)
+            np.maximum(csig1 * sbet2 - sbet1 * csig2, 0.0),
+            csig1 * csig2 + sbet1 * sbet2)
         c1 = self._C1f(eps)
         s12 = (1.0 + _A1m1(eps)) * (sig12
                                     + _sin_series_diff(
@@ -698,46 +708,6 @@ class GeodSolver:
                                         ssig1n, csig1n)) * self.b
         internals = (eps, k2, ssig1n, csig1n, ssig2n, csig2n, sig12)
         return s12, salp2, calp2, internals
-
-    def _dlam12(self, internals, sbet1, cbet2, calp2, fast: bool = False):
-        """d(lam12)/d(alpha1) at the trial azimuth (Karney 2013 eq. 46;
-        reference src/geodesic.c Lambda12 diffp branch): m12b*f1/(calp2*
-        cbet2), with the meridional limit -2*f1*dn1/sbet1 when the line
-        passes through the far pole (calp2*cbet2 -> 0). ``fast`` uses the
-        truncated A/C series (derivative relative error ~1e-6, far inside
-        Newton's tolerance — see _A1m1_fast)."""
-        eps, k2, ssig1, csig1, ssig2, csig2, sig12 = internals
-        dn1 = np.sqrt(1.0 + k2 * ssig1 * ssig1)
-        dn2 = np.sqrt(1.0 + k2 * ssig2 * ssig2)
-        # reduced length only (skip M12/M21), shared coefficients; the two
-        # (1+Ai)*sum Ci sin(2l x) series are merged into ONE combined
-        # coefficient set cJ[l] = (1+A1)C1[l] - (1+A2)C2[l], halving the
-        # Clenshaw count (J12 = (A1-A2) sig12 + dS(cJ))
-        if fast and self._low_ecc:
-            a1m1 = _A1m1_fast(eps)
-            a2m1 = _A2m1_fast(eps)
-            c1 = _C1_2(eps)
-            c2 = _C2_2(eps)
-        else:
-            a1m1 = _A1m1(eps)
-            a2m1 = _A2m1(eps)
-            c1 = self._C1f(eps)
-            c2 = self._C2f(eps)
-        f1a = 1.0 + a1m1
-        f2a = 1.0 + a2m1
-        cj = [f1a * u - f2a * v for u, v in zip(c1, c2)]
-        J12 = ((a1m1 - a2m1) * sig12
-               + _sin_series_diff(cj, ssig2, csig2, ssig1, csig1))
-        m12 = self.b * (dn2 * (csig1 * ssig2) - dn1 * (ssig1 * csig2)
-                        - csig1 * csig2 * J12)
-        denom = calp2 * cbet2
-        d = (m12 / self.b) * self.f1 / denom
-        merid = np.abs(denom) < 1e-14
-        if merid.any():
-            # exact -1 where sbet1 == 0 (bool subtraction), else sbet1
-            sb = sbet1 - (sbet1 == 0.0)
-            d = np.where(merid, -2.0 * self.f1 * dn1 / sb, d)
-        return d
 
     def inverse(self, lon1, lat1, lon2, lat2, n_bisect: int = 52,
                 want_scale: bool = False, want_area: bool = False):
@@ -825,6 +795,48 @@ class GeodSolver:
         finally:
             np.seterr(**old_err)
 
+    def _start_gxgy(self, sbet1, cbet1, sbet2, cbet2, lam):
+        """f64 starting-azimuth vector (gy, gx): Karney 2013 §5 spherical
+        start with the longitude compressed by f1*dnm for short lines
+        (start error O(f^2) instead of O(f)) plus the first-order domg
+        correction for non-short lines (Karney eq. 6 with the series tail
+        dropped: domg = f sin(alp0) A3 sig12, relative error O(eps) on an
+        O(f) term). Scalar A3 at the mid-range eps: A3 varies by O(eps),
+        so the domg term moves by O(f*eps) ~ 5e-6 rad — the same order as
+        the O(f^2) start error this correction already carries. Fallback
+        path for rows whose f32 fast-path evaluation (see _inverse_body)
+        is cancellation-degenerate."""
+        sbet12 = sbet2 * cbet1 - cbet2 * sbet1
+        cbet12 = cbet2 * cbet1 + sbet2 * sbet1
+        shortline = (cbet12 >= 0.0) & (sbet12 < 0.5) & (cbet2 * lam < 0.5)
+        sbsum = sbet1 + sbet2
+        cbsum = cbet1 + cbet2
+        sbetm2 = sbsum * sbsum / (sbsum * sbsum + cbsum * cbsum)
+        dnm = np.sqrt(1.0 + self.ep2 * sbetm2)
+        omg12s = lam + (lam / (self.f1 * dnm) - lam) * shortline
+        somg12, comg12 = np.sin(omg12s), np.cos(omg12s)
+        csig12g = sbet1 * sbet2 + cbet1 * cbet2 * comg12
+        ssig12g = np.sqrt(np.maximum(1.0 - csig12g * csig12g, 1e-24))
+        salp0g = np.minimum(np.maximum(
+            cbet1 * cbet2 * somg12 / ssig12g, -1.0), 1.0)
+        domg = (self.f * salp0g * self._a3g
+                * np.arctan2(ssig12g, csig12g)) * (1.0 - shortline)
+        # rotate (somg12, comg12) by the small domg via its Maclaurin
+        # sin/cos (|domg| <= f*pi ~ 0.01: error < 1e-15)
+        d2 = domg * domg
+        sd = domg * (1.0 - d2 * (1.0 / 6.0 - d2 / 120.0))
+        cd = 1.0 - d2 * (0.5 - d2 / 24.0)
+        somg12, comg12 = (somg12 * cd + comg12 * sd,
+                          comg12 * cd - somg12 * sd)
+        gy = cbet2 * somg12
+        gx = np.where(comg12 >= 0.0,
+                      sbet12 + cbet2 * sbet1 * somg12 * somg12
+                      / (1.0 + comg12),
+                      (sbet2 * cbet1 + cbet2 * sbet1)
+                      - cbet2 * sbet1 * somg12 * somg12
+                      / (1.0 - comg12))
+        return gy, gx
+
     def _inverse_body(self, lon1, lat1, lon2, lat2, n_bisect: int = 52,
                       want_scale: bool = False, want_area: bool = False):
         scalar_in = np.ndim(lon1) == 0 and np.ndim(lat1) == 0 \
@@ -889,56 +901,68 @@ class GeodSolver:
         hi = np.pi - 1e-12
         n_pts = lam.shape[0] if lam.ndim else 1
         # starting azimuth (Karney 2013 §5 / geodesic.c InverseStart
-        # non-antipodal branch): the inverse problem solved on the
-        # auxiliary sphere with the longitude compressed by f1*dnm for
-        # short lines — starting error O(f^2) instead of O(f), which
-        # saves a Newton iteration per point
-        sbet12 = sbet2 * cbet1 - cbet2 * sbet1
-        cbet12 = cbet2 * cbet1 + sbet2 * sbet1
-        shortline = (cbet12 >= 0.0) & (sbet12 < 0.5) & (cbet2 * lam < 0.5)
-        sbsum = sbet1 + sbet2
-        cbsum = cbet1 + cbet2
+        # non-antipodal branch, with the O(f^2) domg correction — see
+        # _start_gxgy) evaluated in FLOAT32: the guess only steers Newton
+        # (its error budget is the O(f^2) ~ 1e-5 rad start error; commits
+        # are certified by the error model at full precision), and numpy's
+        # SIMD f32 sin/cos/arctan2 run ~10x the f64 loops on this stack
+        # (measured 0.6 vs 6 ns/elem), halving memory traffic besides.
+        # f32 roundoff through the ~15-op chain is ~1e-6 absolute on the
+        # O(1) vector (gy, gx); rows where |g| < 0.03 (angle noise above
+        # ~3e-5 rad: nearly-antipodal or cancellation-degenerate short
+        # lines, ~0.1% of random pairs) fall back to the exact f64 chain
+        # on their compressed subset.
+        f32 = np.float32
+        sb1s = sbet1.astype(f32)
+        cb1s = cbet1.astype(f32)
+        sb2s = sbet2.astype(f32)
+        cb2s = cbet2.astype(f32)
+        lams = lam.astype(f32)
+        sbet12s = sb2s * cb1s - cb2s * sb1s
+        cbet12s = cb2s * cb1s + sb2s * sb1s
+        shortline = (cbet12s >= 0.0) & (sbet12s < 0.5) & (cb2s * lams < 0.5)
+        sbsum = sb1s + sb2s
+        cbsum = cb1s + cb2s
         sbetm2 = sbsum * sbsum / (sbsum * sbsum + cbsum * cbsum)
-        dnm = np.sqrt(1.0 + self.ep2 * sbetm2)
-        omg12s = lam + (lam / (self.f1 * dnm) - lam) * shortline
+        dnm = np.sqrt(1.0 + f32(self.ep2) * sbetm2)
+        omg12s = lams + (lams / (f32(self.f1) * dnm) - lams) * shortline
         somg12, comg12 = np.sin(omg12s), np.cos(omg12s)
-
-        # first-order lambda correction for NON-short lines: the plain
-        # aux-sphere start uses omg12 ~ lam (error O(f)), costing a Newton
-        # iteration. Approximating Karney eq. 6's longitude reduction with
-        # the series tail dropped, domg = f sin(alp0) A3(eps) sig12
-        # (relative error O(eps) on an O(f) term -> start error O(f^2)),
-        # puts the bulk of rows inside the polish window one eval earlier.
-        csig12g = sbet1 * sbet2 + cbet1 * cbet2 * comg12
-        ssig12g = np.sqrt(np.maximum(1.0 - csig12g * csig12g, 1e-24))
+        csig12g = sb1s * sb2s + cb1s * cb2s * comg12
+        ssig12g = np.sqrt(np.maximum(1.0 - csig12g * csig12g, f32(1e-12)))
         salp0g = np.minimum(np.maximum(
-            cbet1 * cbet2 * somg12 / ssig12g, -1.0), 1.0)
-        # scalar A3 at a representative eps instead of the per-row
-        # _eps + polyval pair: A3 varies by O(eps) over its range, so the
-        # domg term moves by O(f*eps) ~ 5e-6 rad — the same order as the
-        # O(f^2) start error this correction already carries; per-row
-        # coefficients bought nothing but ~10 full-width ops
-        domg = (self.f * salp0g * self._a3g
-                * np.arctan2(ssig12g, csig12g)) * (1.0 - shortline)
-        # rotate (somg12, comg12) by the small domg via its Maclaurin
-        # sin/cos (|domg| <= f*pi ~ 0.01: error < 1e-15)
+            cb1s * cb2s * somg12 / ssig12g, -1.0), 1.0)
+        notshort = np.subtract(1.0, shortline, dtype=np.float32)
+        domg = (f32(self.f * self._a3g) * salp0g
+                * np.arctan2(ssig12g, csig12g)) * notshort
         d2 = domg * domg
-        sd = domg * (1.0 - d2 * (1.0 / 6.0 - d2 / 120.0))
-        cd = 1.0 - d2 * (0.5 - d2 / 24.0)
+        sd = domg * (1.0 - d2 * (1.0 / 6.0))
+        cd = 1.0 - d2 * 0.5
         somg12, comg12 = (somg12 * cd + comg12 * sd,
                           comg12 * cd - somg12 * sd)
-        gy = cbet2 * somg12
-        gx = np.where(comg12 >= 0.0,
-                      sbet12 + cbet2 * sbet1 * somg12 * somg12
-                      / (1.0 + comg12),
-                      (sbet2 * cbet1 + cbet2 * sbet1)
-                      - cbet2 * sbet1 * somg12 * somg12
-                      / (1.0 - comg12))
+        t1s = cb2s * sb1s * somg12 * somg12
+        gy32 = cb2s * somg12
+        gx32 = np.where(comg12 >= 0.0,
+                        sbet12s + t1s / (1.0 + comg12),
+                        (sb2s * cb1s + cb2s * sb1s) - t1s / (1.0 - comg12))
+        gy = gy32.astype(np.float64)
+        gx = gx32.astype(np.float64)
+        weak = ~(gx * gx + gy * gy > 9e-4)  # ~ catches NaN rows too
+        if weak.any():
+            wy, wx = self._start_gxgy(sbet1[weak], cbet1[weak],
+                                      sbet2[weak], cbet2[weak], lam[weak])
+            gy[weak] = wy
+            gx[weak] = wx
         guess = np.arctan2(gy, gx)
         alp1 = np.minimum(np.maximum(guess, lo), hi)
         idx = np.arange(n_pts)
         a_lo, a_hi = lo, hi
         a_sb1, a_cb1, a_sb2, a_cb2, a_lam = sbet1, cbet1, sbet2, cbet2, lam
+        # iteration-invariant part of calp2sq (see _lambda12d): computed
+        # once here instead of inside every lambda evaluation
+        cbk = (sbet1 - sbet2) * (sbet1 + sbet2)
+        k_c2 = cbk + ((cbet2 - cbet1) * (cbet1 + cbet2) - cbk) \
+            * (cbet1 < -sbet1)
+        a_kc2 = k_c2
         cand = alp1.copy()
         # sin/cos of the trial azimuth are MAINTAINED by small-angle
         # rotation instead of re-evaluated — after the initial pair, no
@@ -993,11 +1017,12 @@ class GeodSolver:
                 # truncation error of the fast derivative series
                 # (8.7e-6 over 2e5 random states).
                 l12, d = self._lambda12d(a_sb1, a_cb1, a_sb2, a_cb2,
-                                         scand, ccand)
+                                         scand, ccand, k_c2=a_kc2)
             else:
                 l12 = self._lambda12(a_sb1, a_cb1, a_sb2, a_cb2,
                                      scand, ccand, want_s12=False,
-                                     fast=True, want_alp2=False)[0]
+                                     fast=True, want_alp2=False,
+                                     k_c2=a_kc2)[0]
             f_c = l12 - a_lam
             af = np.abs(f_c)
             neg = f_c < 0
@@ -1090,6 +1115,7 @@ class GeodSolver:
                 a_sb1, a_cb1 = a_sb1[keep], a_cb1[keep]
                 a_sb2, a_cb2 = a_sb2[keep], a_cb2[keep]
                 a_lam = a_lam[keep]
+                a_kc2 = a_kc2[keep]
                 f_prev = f_prev[keep]
                 a_prev = a_prev[keep]
                 d0 = d0[keep]
@@ -1117,6 +1143,7 @@ class GeodSolver:
             a_sb1, a_cb1 = a_sb1[keep], a_cb1[keep]
             a_sb2, a_cb2 = a_sb2[keep], a_cb2[keep]
             a_lam = a_lam[keep]
+            a_kc2 = a_kc2[keep]
         if idx.size:
             # nearly-antipodal tail (a handful of rows): Newton gained no
             # traction within 10 iterations, so finish with plain
@@ -1126,7 +1153,8 @@ class GeodSolver:
                 cand = 0.5 * (a_lo + a_hi)
                 l12 = self._lambda12(a_sb1, a_cb1, a_sb2, a_cb2,
                                      np.sin(cand), np.cos(cand),
-                                     want_s12=False)[0]
+                                     want_s12=False, want_alp2=False,
+                                     k_c2=a_kc2)[0]
                 neg = (l12 - a_lam) < 0
                 a_lo = np.where(neg, cand, a_lo)
                 a_hi = np.where(neg, a_hi, cand)
@@ -1136,7 +1164,7 @@ class GeodSolver:
             salp1[idx] = np.sin(mid)
             calp1[idx] = np.cos(mid)
         s12, salp2, calp2, internals = self._final_state(
-            sbet1, cbet1, sbet2, cbet2, salp1, calp1)
+            sbet1, cbet1, sbet2, cbet2, salp1, calp1, k_c2=k_c2)
 
         # meridian special case (reference geodesic.c:834-899): endpoints
         # on one full meridian (lam ~ 0 or ~ pi, or starting at the pole).
