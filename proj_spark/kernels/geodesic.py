@@ -946,12 +946,14 @@ class GeodSolver:
                         (sb2s * cb1s + cb2s * sb1s) - t1s / (1.0 - comg12))
         gy = gy32.astype(np.float64)
         gx = gx32.astype(np.float64)
-        weak = ~(gx * gx + gy * gy > 9e-4)  # ~ catches NaN rows too
+        g2 = gx * gx + gy * gy
+        weak = ~(g2 > 9e-4)  # ~ catches NaN rows too
         if weak.any():
             wy, wx = self._start_gxgy(sbet1[weak], cbet1[weak],
                                       sbet2[weak], cbet2[weak], lam[weak])
             gy[weak] = wy
             gx[weak] = wx
+            g2[weak] = wx * wx + wy * wy
         guess = np.arctan2(gy, gx)
         alp1 = np.minimum(np.maximum(guess, lo), hi)
         idx = np.arange(n_pts)
@@ -976,7 +978,7 @@ class GeodSolver:
         # within 1 ulp of sin/cos(arctan2(y, x)), and start wobble only
         # shifts the iteration path: commits are gated by the error
         # model); rows the [lo, hi] clamp moved re-evaluate exactly.
-        gr = np.sqrt(gx * gx + gy * gy)
+        gr = np.sqrt(g2)
         scand, ccand = gy / gr, gx / gr
         clipped = (guess != alp1) | ~(gr > 0.0)
         if clipped.any():
@@ -1005,6 +1007,7 @@ class GeodSolver:
         d0 = None
         fin = None     # committed-but-not-yet-compressed active rows
         n_fin = 0
+        compressed = False   # active set still the identity mapping
         for it in range(newton_iters):
             if idx.size == 0:
                 break
@@ -1049,8 +1052,9 @@ class GeodSolver:
                            + 4e-15 / np.abs(dalp)) * use_sec \
                     + 1e-5 * (1.0 - use_sec)
             nxt = cand - f_c / d
-            bad = ~np.isfinite(nxt) | (nxt <= a_lo) \
-                | (nxt >= a_hi) | (d <= 0)
+            # NaN/inf nxt or d fail every comparison, so the inverted
+            # conjunction catches them without an explicit isfinite pass
+            bad = ~((nxt > a_lo) & (nxt < a_hi) & (d > 0))
             if bad.any():
                 nxt = np.where(bad, 0.5 * (a_lo + a_hi), nxt)
             # commits: (a) error-model polish — the committed step's
@@ -1083,15 +1087,33 @@ class GeodSolver:
                     done &= ~fin
                 ncommit = int(np.count_nonzero(done))
                 if ncommit:
-                    ii = idx[done]
-                    pol = polish[done]
-                    # rotate the maintained sin/cos to the committed angle
-                    delta = np.where(pol, nxt[done] - cand[done], 0.0)
-                    d2r_ = delta * delta
-                    sd = delta * (1.0 - d2r_ * (1.0 / 6.0))
-                    cd = 1.0 - d2r_ * 0.5
-                    salp1[ii] = scand[done] * cd + ccand[done] * sd
-                    calp1[ii] = ccand[done] * cd - scand[done] * sd
+                    if not compressed:
+                        # pre-compress the active set IS the full problem
+                        # (idx is the identity): commit via full-width
+                        # blends — ~93% of rows land here at it 1, where
+                        # boolean gathers + integer scatters cost ~3x the
+                        # blend muls. Committed rows take one extra
+                        # rounding (salp1 + (rs - salp1) vs assigning rs;
+                        # <= 1 ulp — same class as the bracket blends);
+                        # uncommitted rows add exact 0.0.
+                        delta_c = (nxt - cand) * polish
+                        d2r_ = delta_c * delta_c
+                        sd = delta_c * (1.0 - d2r_ * (1.0 / 6.0))
+                        cd = 1.0 - d2r_ * 0.5
+                        rs = scand * cd + ccand * sd
+                        rco = ccand * cd - scand * sd
+                        salp1 = salp1 + (rs - salp1) * done
+                        calp1 = calp1 + (rco - calp1) * done
+                    else:
+                        ii = idx[done]
+                        pol = polish[done]
+                        # rotate maintained sin/cos to the committed angle
+                        delta_c = np.where(pol, nxt[done] - cand[done], 0.0)
+                        d2r_ = delta_c * delta_c
+                        sd = delta_c * (1.0 - d2r_ * (1.0 / 6.0))
+                        cd = 1.0 - d2r_ * 0.5
+                        salp1[ii] = scand[done] * cd + ccand[done] * sd
+                        calp1[ii] = ccand[done] * cd - scand[done] * sd
                     fin = done if fin is None else (fin | done)
                     n_fin += ncommit
             f_prev = f_c
@@ -1109,7 +1131,10 @@ class GeodSolver:
             # for a handful of committed rows costs more than letting the
             # finished rows ride along one more evaluation
             if fin is not None and n_fin * 4 > idx.size:
-                keep = ~fin
+                # ONE nonzero scan, then integer gathers (O(survivors)
+                # each) — boolean indexing re-scans the full mask for
+                # every one of the 16 arrays
+                keep = np.nonzero(~fin)[0]
                 idx = idx[keep]
                 a_lo, a_hi = a_lo[keep], a_hi[keep]
                 a_sb1, a_cb1 = a_sb1[keep], a_cb1[keep]
@@ -1125,6 +1150,7 @@ class GeodSolver:
                 cand = cand[keep]
                 fin = None
                 n_fin = 0
+                compressed = True
             # advance the maintained sin/cos by the step taken
             d2r_ = delta * delta
             sd = delta * (1.0 - d2r_ * (1.0 / 6.0) * (1.0 - d2r_ / 20.0))
@@ -1137,7 +1163,7 @@ class GeodSolver:
                 ccand[big] = np.cos(cand[big])
         if fin is not None and idx.size:
             # sweep lingering finished rows before the bisection tail
-            keep = ~fin
+            keep = np.nonzero(~fin)[0]
             idx = idx[keep]
             a_lo, a_hi = a_lo[keep], a_hi[keep]
             a_sb1, a_cb1 = a_sb1[keep], a_cb1[keep]
