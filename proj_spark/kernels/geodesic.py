@@ -532,7 +532,14 @@ class GeodSolver:
           with f1a = 1/(1-eps), f2a = 1/(1+eps) (the truncated A series),
           cj0 = eps (e2/8 - 1 + eps e2/4)/(1-e2), cj1 = -e2 (2-eps)/
           (8 (1-e2)), a1m1-a2m1 = 2 eps/(1-e2) — one shared 1/(1-e2)
-          instead of rebuilding four coefficient arrays."""
+          instead of rebuilding four coefficient arrays.
+        (Sub-slicing these evaluations to L2-resident 4k strips was
+        measured and LOST in the real solver — the standalone helper
+        win was an artifact of re-running on cache-hot inputs.)"""
+        if k_c2 is None:
+            cb = (sbet1 - sbet2) * (sbet1 + sbet2)
+            k_c2 = cb + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb) \
+                * (cbet1 < -sbet1)
         salp0 = salp1 * cbet1
         t = salp1 * sbet1
         calp0 = np.sqrt(calp1 * calp1 + t * t)
@@ -540,10 +547,6 @@ class GeodSolver:
         csig1 = calp1 * cbet1
         ssig1n = sbet1 * rc
         csig1n = csig1 * rc
-        if k_c2 is None:
-            cb = (sbet1 - sbet2) * (sbet1 + sbet2)
-            k_c2 = cb + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb) \
-                * (cbet1 < -sbet1)
         csig2 = np.sqrt(np.maximum(csig1 * csig1 + k_c2, 0.0))
         ssig2n = sbet2 * rc
         csig2n = csig2 * rc
@@ -612,6 +615,10 @@ class GeodSolver:
         omg12/sig12 angles come from raw components via arctan2's scale
         invariance with one shared clamped cross, and calp2sq's
         iteration-invariant part arrives precomputed as ``k_c2``."""
+        if k_c2 is None:
+            cb = (sbet1 - sbet2) * (sbet1 + sbet2)
+            k_c2 = cb + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb) \
+                * (cbet1 < -sbet1)
         salp0 = salp1 * cbet1
         t = salp1 * sbet1
         calp0 = np.sqrt(calp1 * calp1 + t * t)
@@ -628,10 +635,6 @@ class GeodSolver:
         # salp1 + (salp0/cbet2 - salp1) carries one extra rounding vs the
         # reference's direct salp0/cbet2 (<= 1 ulp, absorbed by the
         # 0.5 mm gie tolerance — this is a near-match, not bit parity)
-        if k_c2 is None:
-            cb = (sbet1 - sbet2) * (sbet1 + sbet2)
-            k_c2 = cb + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb) \
-                * (cbet1 < -sbet1)
         csig2 = np.sqrt(np.maximum(csig1 * csig1 + k_c2, 0.0))
         if want_alp2:
             salp2 = salp1 + (salp0 / cbet2 - salp1) * (cbet2 != cbet1)
@@ -677,8 +680,12 @@ class GeodSolver:
         """Distance + far azimuth at the CONVERGED alpha1 — the quantities
         lambda12 iteration skipped. Omits the omg12/I3 lambda series (not
         needed once the root is found), so the post-loop full-array pass
-        costs ~half a _lambda12. Same identity-normalization and hoisted
-        k_c2 op cuts as _lambda12d."""
+        costs ~half a _lambda12. Same identity-normalization and
+        hoisted k_c2 op cuts as _lambda12d."""
+        if k_c2 is None:
+            cb = (sbet1 - sbet2) * (sbet1 + sbet2)
+            k_c2 = cb + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb) \
+                * (cbet1 < -sbet1)
         salp0 = salp1 * cbet1
         t = salp1 * sbet1
         calp0 = np.sqrt(calp1 * calp1 + t * t)
@@ -687,10 +694,6 @@ class GeodSolver:
         ssig1n = sbet1 * rc
         csig1n = csig1 * rc
         salp2 = salp1 + (salp0 / cbet2 - salp1) * (cbet2 != cbet1)
-        if k_c2 is None:
-            cb = (sbet1 - sbet2) * (sbet1 + sbet2)
-            k_c2 = cb + ((cbet2 - cbet1) * (cbet1 + cbet2) - cb) \
-                * (cbet1 < -sbet1)
         csig2 = np.sqrt(np.maximum(csig1 * csig1 + k_c2, 0.0))
         calp2 = csig2 / cbet2
         ssig2n = sbet2 * rc
@@ -854,9 +857,10 @@ class GeodSolver:
         # sign flips are exact +-1 multiplies, and a NaN in either lat
         # poisons the whole row through the blend exactly as it did
         # through the selection (all outputs NaN either way)
+        dla = lat2 - lat1
         swapp = np.abs(lat1) < np.abs(lat2)
-        la1 = lat1 + (lat2 - lat1) * swapp
-        la2 = lat2 + (lat1 - lat2) * swapp
+        la1 = lat1 + dla * swapp
+        la2 = lat2 - dla * swapp
         lam = lam12_t * (1.0 - 2.0 * swapp)
         latsign = 1.0 - 2.0 * (la1 > 0)
         la1 = la1 * latsign
@@ -866,13 +870,13 @@ class GeodSolver:
 
         sbet1 = self.f1 * np.sin(la1)
         cbet1 = np.cos(la1)
-        nrm = np.sqrt(sbet1 * sbet1 + cbet1 * cbet1)
-        sbet1, cbet1 = sbet1 / nrm, cbet1 / nrm
+        rn = 1.0 / np.sqrt(sbet1 * sbet1 + cbet1 * cbet1)
+        sbet1, cbet1 = sbet1 * rn, cbet1 * rn
         cbet1 = np.maximum(cbet1, 1e-15)
         sbet2 = self.f1 * np.sin(la2)
         cbet2 = np.cos(la2)
-        nrm = np.sqrt(sbet2 * sbet2 + cbet2 * cbet2)
-        sbet2, cbet2 = sbet2 / nrm, cbet2 / nrm
+        rn = 1.0 / np.sqrt(sbet2 * sbet2 + cbet2 * cbet2)
+        sbet2, cbet2 = sbet2 * rn, cbet2 * rn
         cbet2 = np.maximum(cbet2, 1e-15)
         # snap sub-1e-12-rad latitudes to the equator: the sigma
         # parameterization degenerates under fp cancellation for
@@ -881,13 +885,27 @@ class GeodSolver:
         # equatorial shortcut for equator-to-equator pairs
         sbet1 = sbet1 * (np.abs(sbet1) >= 1e-12)  # exact 0/1 blend
         sbet2 = sbet2 * (np.abs(sbet2) >= 1e-12)
-        coincident = (sbet1 == sbet2) & (cbet1 == cbet2) & (lam == 0.0)
+        # the coincident / |bet2|<=|bet1| / equatorial guards all require
+        # an exact-zero or exact-equality trigger that random inputs never
+        # hit — compute each one's cheap trigger first and skip the rest
+        # of its mask arithmetic when no row fires
+        eq_lam = lam == 0.0
+        if eq_lam.any():
+            coincident = (sbet1 == sbet2) & (cbet1 == cbet2) & eq_lam
+        else:
+            coincident = eq_lam
         # enforce |bet2| <= |bet1| exactly (roundoff guard)
         snap2 = np.abs(sbet2) > np.abs(sbet1) * (1 - 1e-15)
-        sbet2 = sbet2 + (np.sign(sbet2 + 0.0) * np.abs(sbet1) - sbet2) * snap2
+        if snap2.any():
+            sbet2 = sbet2 + (np.sign(sbet2 + 0.0) * np.abs(sbet1)
+                             - sbet2) * snap2
 
         # equatorial shortcut: both on equator and lam12 <= (1-f)*pi
-        equatorial = (sbet1 == 0) & (sbet2 == 0) & (lam <= self.f1 * np.pi)
+        eq1 = sbet1 == 0
+        if eq1.any():
+            equatorial = eq1 & (sbet2 == 0) & (lam <= self.f1 * np.pi)
+        else:
+            equatorial = eq1
 
         # root-find on alpha1 in (0, pi): lam12(alpha1) is monotonic
         # increasing in the canonical arrangement, so a bracket [lo, hi]
