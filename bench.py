@@ -112,7 +112,10 @@ def _kernel_microbench(n: int = 2_000_000) -> dict:
                       ("lcc", "+proj=lcc +lat_1=33 +lat_2=45"),
                       ("cart", "+proj=cart")):
         op = proj_spark.create(defn)
-        op.apply("forward", lam[:1000], phi[:1000], None, None)
+        # one UNTIMED full-size pass: the first 2M-point call pays output
+        # page-in + malloc arena growth (~10-20% on the measured wall);
+        # steady-state throughput is what a long-running executor sees
+        op.apply("forward", lam, phi, None, None)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -122,7 +125,7 @@ def _kernel_microbench(n: int = 2_000_000) -> dict:
     g = GeodSolver(Ellipsoid(6378137.0, 6356752.314245179))
     lat2 = np.radians(rng.uniform(-80.0, 80.0, n))
     lon2 = np.radians(rng.uniform(-180.0, 180.0, n))
-    g.inverse(lam[:1000], phi[:1000], lon2[:1000], lat2[:1000])
+    g.inverse(lam, phi, lon2, lat2)  # untimed full-size warm pass
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
