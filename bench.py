@@ -196,6 +196,12 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = False)
     # + heap pressure depress the in-process kernel microbench ~15%
     host_probe = _host_probe()
     kernels = _kernel_microbench()
+    # machine-readable normalization: same-code karney_inverse is a
+    # constant ~0.14 M pts/s per GB/s of delivered stream bandwidth
+    # across the shared VM's minute-scale speed swings (BENCH/SF1.md),
+    # so this ratio — not the raw reading — is the comparable quantity
+    karney_per_stream = round(
+        kernels["karney_inverse"] / host_probe["stream_gbytes_per_sec"], 4)
     spark = get_spark("proj_spark_bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     querylib.register_views(spark, sf_dir)
@@ -232,6 +238,7 @@ def run(sf_dir: str | None = None, cpus: int | None = None, quiet: bool = False)
     out = {
         "host_probe": host_probe,
         "kernel_mpts_per_sec_1core": kernels,
+        "karney_per_stream_gbs": karney_per_stream,
         "fused_transform_12m": _scaled_transform(spark),
         "metric": "headline query suite wall time",
         "value": total,
