@@ -721,15 +721,19 @@ class GeodSolver:
         from .core import chunk_apply
         if all(np.ndim(a) == 1 and np.shape(a) == np.shape(lon1)
                for a in (lon1, lat1, lon2, lat2)) \
-                and np.shape(lon1)[0] > 16384:
+                and np.shape(lon1)[0] > 32768:
             # cache-sized slices: the solver keeps ~15 live f64 temporaries;
-            # at 16k rows that is ~2 MB — inside per-core L2 — where the
-            # memory-bound elementwise chains run 2x faster than at 128k
-            # (measured sweep: 16-24k ~1.0 M pts/s, 128k 0.52 M pts/s)
+            # 32k rows is ~4 MB — L2+L3-resident — where the memory-bound
+            # elementwise chains run far faster than at 128k (interleaved
+            # A/B sweep on the post-lane-compression solver: 8k 0.83x,
+            # 16k 1.00x, 32k 1.08x median over 8 paired rounds (noisy
+            # host: per-pair 0.82-1.25x), 64k 0.88x, 128k ~0.8x — 32k
+            # also halves the per-chunk dispatch the compressed
+            # Newton-tail iterations pay vs the old 16k choice)
             return chunk_apply(
                 lambda a, b, c, d: self._inverse_impl(a, b, c, d, n_bisect,
                                                       want_scale, want_area),
-                (lon1, lat1, lon2, lat2), chunk=16384)
+                (lon1, lat1, lon2, lat2), chunk=32768)
         return self._inverse_impl(lon1, lat1, lon2, lat2, n_bisect,
                                   want_scale, want_area)
 
