@@ -872,13 +872,35 @@ class GeodSolver:
         lonsign = 1.0 - 2.0 * (lam < 0)
         lam = lam * lonsign
 
-        sbet1 = self.f1 * np.sin(la1)
-        cbet1 = np.cos(la1)
+        # cos(la) via the Sterbenz-exact identity sqrt((1-s)(1+s)) — |la|
+        # <= pi/2 so cos >= 0, and (1-s) is EXACT for s in [0.5, 1]
+        # (Sterbenz), leaving ~1.5 ulp relative error in c from the
+        # rounding of (1+s) and the sqrt. That replaces a ~15 ns/elem f64
+        # cos with three ~0.5 ns passes. The identity's real error term is
+        # inherited from sin's half-ulp: abs error in c is ~eps*|s|^2/c,
+        # i.e. rel_err(c) ~ eps*(s/c)^2 — equivalent to an input-latitude
+        # wobble of rel_err(c) * (c/s) = eps*|s/c| rad.
+        # Gate: rows with s^2 > 0.999 (|la| > 88.2 deg, c < 0.031) take
+        # the exact np.cos on their (rare) subset, bounding the
+        # equivalent perturbation at <= 3e-15 rad — inside the 1.7e-14
+        # rad (1e-12 deg) gie budget with margin. NaN rows fail the gate
+        # comparison and poison through the identity exactly as through
+        # np.cos.
+        s1 = np.sin(la1)
+        cbet1 = np.sqrt((1.0 - s1) * (1.0 + s1))
+        nearpole = s1 * s1 > 0.999
+        if nearpole.any():
+            cbet1[nearpole] = np.cos(la1[nearpole])
+        sbet1 = self.f1 * s1
         rn = 1.0 / np.sqrt(sbet1 * sbet1 + cbet1 * cbet1)
         sbet1, cbet1 = sbet1 * rn, cbet1 * rn
         cbet1 = np.maximum(cbet1, 1e-15)
-        sbet2 = self.f1 * np.sin(la2)
-        cbet2 = np.cos(la2)
+        s2 = np.sin(la2)
+        cbet2 = np.sqrt((1.0 - s2) * (1.0 + s2))
+        nearpole = s2 * s2 > 0.999
+        if nearpole.any():
+            cbet2[nearpole] = np.cos(la2[nearpole])
+        sbet2 = self.f1 * s2
         rn = 1.0 / np.sqrt(sbet2 * sbet2 + cbet2 * cbet2)
         sbet2, cbet2 = sbet2 * rn, cbet2 * rn
         cbet2 = np.maximum(cbet2, 1e-15)
