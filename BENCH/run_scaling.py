@@ -334,7 +334,11 @@ def orchestrate():
         "host_capacity_ideal": ideal,
         "normalized_efficiency": round(norm_eff, 3),
         "criterion": ">= 0.8 (normalized to host-deliverable capacity)",
-        "pass": norm_eff >= 0.8,
+        # a run with no healthy DRAM window falls back to the all-pairs
+        # median for `speedup` (informational only) — it must not report
+        # the criterion as met: collapsed-window ratios characterize the
+        # co-tenant, not the plan
+        "pass": bool(healthy_ratios) and norm_eff >= 0.8,
     }
     # an invalid run (no healthy window) must not clobber committed good
     # evidence — park it in a side file for inspection instead

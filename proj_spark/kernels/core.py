@@ -15,14 +15,24 @@ import numpy as np
 
 def _tune_malloc():
     """Raise glibc's M_MMAP_THRESHOLD (default 128 KiB). The kernels'
-    cache-sized chunks (16,384 rows x 8 B) make every numpy temporary
-    exactly 128 KiB, so with the default threshold EVERY elementwise
-    temporary was a fresh mmap + munmap round trip — page zeroing, TLB
-    shootdown, no reuse. Keeping temporaries on the heap freelist
-    measured +13% on the Karney inverse (1.37 -> 1.55 M pts/s
+    cache-sized chunks (16-32k rows x 8 B) make every numpy temporary a
+    128-256 KiB allocation, so with the default threshold EVERY
+    elementwise temporary was a fresh mmap + munmap round trip — page
+    zeroing, TLB shootdown, no reuse. Keeping temporaries on the heap
+    freelist measured +13% on the Karney inverse (1.37 -> 1.55 M pts/s
     same-session A/B) and helps every vectorized kernel. No-op on
-    non-glibc platforms."""
+    non-glibc platforms.
+
+    This is a PROCESS-WIDE allocator-policy change applied at import
+    (it also freezes glibc's dynamic threshold adjustment, so freed
+    blocks up to 16 MiB stay on the freelist instead of returning to the
+    OS — a host application embedding this library may see higher
+    steady-state RSS). Embedders that prefer the default allocator
+    behavior can set PROJ_SPARK_NO_MALLOC_TUNE=1 before import."""
     import ctypes
+    import os
+    if os.environ.get("PROJ_SPARK_NO_MALLOC_TUNE"):
+        return
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         libc.mallopt(-3, 1 << 24)  # M_MMAP_THRESHOLD = 16 MiB

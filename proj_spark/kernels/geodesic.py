@@ -19,6 +19,8 @@ is applied afterwards for the last bits.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from .core import Ellipsoid, adjlon
@@ -69,30 +71,6 @@ def _C2_t(eps):
         eps * e2 * (5.0 / 256.0 * e2 + 5.0 / 48.0),
         e2 * e2 * (7.0 / 512.0 * e2 + 35.0 / 512.0),
     ]
-
-
-def _A1m1_fast(eps):
-    """A1 - 1 truncated for Newton-iteration use only (relative error
-    O(eps^2/4) ~ 7e-7 on 1+A1 for Earth): the derivative d(lam12)/d(alpha1)
-    only steers the step, so 1e-5 relative suffices — the committed root's
-    error is |f|/d * (dd/d) <= 1e-9 * 1e-5 rad."""
-    return eps / (1.0 - eps)
-
-
-def _A2m1_fast(eps):
-    return -eps / (1.0 + eps)
-
-
-def _C1_2(eps):
-    """C1 truncated to 2 terms for the Newton derivative (J12 relative
-    error O(eps^2) — far inside the 1e-5 derivative budget)."""
-    e2 = eps * eps
-    return [eps * (3.0 / 16.0 * e2 - 0.5), -e2 / 16.0]
-
-
-def _C2_2(eps):
-    e2 = eps * eps
-    return [eps * (e2 / 16.0 + 0.5), 3.0 / 16.0 * e2]
 
 
 def _C1p(eps):
@@ -308,8 +286,7 @@ class GeodSolver:
 
     def __init__(self, ell: Ellipsoid):
         self.ell = ell
-        self._ws: list = []
-        self._ws_cap = 0
+        self._ws_tls = threading.local()
         self.a = ell.a
         self.f = ell.f
         self.b = ell.a * (1.0 - ell.f)
@@ -356,13 +333,17 @@ class GeodSolver:
     def _wsbufs(self, n: int):
         """9 chunk-sized scratch buffers for the buffered Clenshaw sweeps
         (one capacity-max allocation reused as [:n] views — the inverse
-        solver's compressed active sets shrink per iteration). NOT
-        thread-safe: each Spark Python worker is its own process, and the
-        solver is used sequentially within a process."""
-        if self._ws_cap < n:
-            self._ws = [np.empty(n) for _ in range(9)]
-            self._ws_cap = n
-        return [b[:n] for b in self._ws]
+        solver's compressed active sets shrink per iteration). Buffers are
+        THREAD-LOCAL: the module-level solver() cache hands one instance
+        to all callers in a process, so per-thread buffers keep concurrent
+        inverse() calls from clobbering each other's recurrences (Spark's
+        Python workers are separate processes, but library users may
+        thread)."""
+        tls = self._ws_tls
+        if getattr(tls, "cap", 0) < n:
+            tls.ws = [np.empty(n) for _ in range(9)]
+            tls.cap = n
+        return [b[:n] for b in tls.ws]
 
     def _eps(self, cos2_alpha0):
         k2 = self.ep2 * cos2_alpha0
@@ -511,7 +492,7 @@ class GeodSolver:
         the same sig endpoints, two sin_series_diff memory walks, a
         duplicated eps/normalization set. Fusing shares all of it and
         runs both coefficient sets through one joint Clenshaw call
-        (_sin_series_diff2). Fast truncated series throughout — the
+        (_clenshaw_diff2_ws). Fast truncated series throughout — the
         derivative feeds Newton only and its error is absorbed by the
         commit error model (err_rel 1e-5, see _inverse_body).
 
@@ -791,7 +772,7 @@ class GeodSolver:
     def _inverse_impl(self, lon1, lat1, lon2, lat2, n_bisect: int = 52,
                       want_scale: bool = False, want_area: bool = False):
         # ONE errstate save/restore for the whole solve: the body and its
-        # helpers (_lambda12/_dlam12/_final_state/_area_s12, only called
+        # helpers (_lambda12/_lambda12d/_final_state/_area_s12, only called
         # from here) divide by guarded-but-possibly-zero quantities in a
         # dozen places; entering np.errstate per call site costed ~4% of
         # the inverse kernel (4,600 seterr calls per 2M points)
@@ -936,7 +917,7 @@ class GeodSolver:
         # root-find on alpha1 in (0, pi): lam12(alpha1) is monotonic
         # increasing in the canonical arrangement, so a bracket [lo, hi]
         # always holds the root. Newton with the reduced-length derivative
-        # (Karney 2013 eq. 46, _dlam12) converges in ~3-5 evaluations from
+        # (Karney 2013 eq. 46, fused into _lambda12d) converges in ~3-5 evaluations from
         # the spherical starting azimuth; a step that leaves the bracket
         # falls back to the midpoint, so worst case (nearly-antipodal rows
         # with a poor spherical guess) degrades to plain bisection. The
@@ -1031,7 +1012,7 @@ class GeodSolver:
         salp1 = scand.copy()   # committed sin/cos(alpha1) per row
         calp1 = ccand.copy()
         # Root-finder (restructured r4 for throughput — same bracketed
-        # semantics): ONE _dlam12 evaluation at the start, then SECANT
+        # semantics): ONE fused _lambda12d evaluation at the start, then SECANT
         # derivatives d_sec = (f_k - f_{k-1}) / (alp_k - alp_{k-1}) —
         # free, and accurate to relative (|dalp|/2)(lam''/d). Commits are
         # gated on an explicit error model instead of a flat |f| < 1e-9:
@@ -1040,7 +1021,7 @@ class GeodSolver:
         #   |f| * err_rel < TOL_ALP * d        (TOL_ALP = 1.7e-14 rad,
         # i.e. 1e-12 deg — the gie vector tolerance) where err_rel is
         # 4e-6/d for the truncated-series derivative (measured max
-        # absolute truncation error, _dlam12 fast) and 2|dalp|/d for the
+        # absolute truncation error of the fused fast derivative) and 2|dalp|/d for the
         # secant (lam'' <= ~4 folded in). The iteration series are the
         # truncated fast variants (lam12 bias < 2e-15 rad); the converged
         # state is re-evaluated with full-order series in _final_state.

@@ -1499,6 +1499,11 @@ EMB_NEAR_DUP_VERIFY_SIM = 0.8
 EMB_NEAR_DUP_RECALL_SIM = 0.95
 EMB_LSH_MISS = 1e-6
 EMB_LSH_SEED = 0x5EED
+# in-bucket pairs materialize as ONE array value per (band, key) bucket;
+# above this many members the bucket switches to a spillable self-join
+# (same pair set, row-shaped). 1024 members = ~524k structs ~ 8 MB per
+# array value — comfortably inside a task, far from the 2^31 element cap.
+EMB_LSH_BUCKET_CAP = 1024
 
 
 @q("embedding_near_dup", """
@@ -1550,10 +1555,13 @@ def q_embedding_near_dup(spark, sf_dir):
     e = e.withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
 
-    # corpus size drives the plan: one cheap count job (base + 10% variants)
-    n_base = spark.table("embeddings").count()
+    # corpus size drives the plan: one cheap count job over the ACTUAL
+    # corpus (base + variants) — an estimate like n_base * 1.1 would
+    # undersize bits for id sets that are not uniform mod 10, doubling
+    # the per-band random-collision rate the derivation promises
+    n_total = e.count()
     n_bands, n_rows = ann.hyperplane_lsh_plan(
-        n_base + n_base // 10, EMB_NEAR_DUP_RECALL_SIM, EMB_LSH_MISS)
+        n_total, EMB_NEAR_DUP_RECALL_SIM, EMB_LSH_MISS)
     dim = 64
     hyper = np.random.default_rng(EMB_LSH_SEED).standard_normal(
         (dim, n_bands * n_rows))
@@ -1573,9 +1581,13 @@ def q_embedding_near_dup(spark, sf_dir):
     # recomputed the UDF + explode on both sides: measured 11.5 s -> 9.0 s
     # at sf1, identical output). Expected bucket size is ~1 + the true
     # near-dup cluster size (bits = log2 N + 4 keeps random co-bucketing
-    # at ~N/32 per band), so collect_list stays tiny; a corpus with
-    # mega-clusters of identical vectors would need a bucket cap + exact
-    # fallback, like the df-cap in ngram_jaccard.
+    # at ~N/32 per band), so collect_list stays tiny. Buckets ABOVE
+    # EMB_LSH_BUCKET_CAP (a mega-cluster of near-identical vectors — the
+    # operator's target domain at dirty-corpus scale) are routed to a
+    # spillable equi-self-join instead: the K(K-1)/2 pairs arrive as join
+    # ROWS, not as one array value, so no bucket can hit Spark's 2^31
+    # array-element limit or a single-row memory spike. Same pair set
+    # either way; the cap only picks the physical shape.
     bucket = (sig.groupBy("band", "bk")
                  .agg(F.collect_list("vec_id").alias("ids"))
                  .filter(F.size("ids") >= 2))
@@ -1583,9 +1595,19 @@ def q_embedding_near_dup(spark, sf_dir):
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
         "y -> struct(least(x, y) AS id1, greatest(x, y) AS id2))))")
-    cand = (bucket.select(F.explode(pair_expr).alias("p"))
-                  .select("p.id1", "p.id2")
-                  .distinct())
+    small = bucket.filter(F.size("ids") <= EMB_LSH_BUCKET_CAP)
+    small_pairs = (small.select(F.explode(pair_expr).alias("p"))
+                        .select("p.id1", "p.id2"))
+    big_members = (bucket.filter(F.size("ids") > EMB_LSH_BUCKET_CAP)
+                         .select("band", "bk",
+                                 F.explode("ids").alias("vec_id")))
+    m1 = big_members.select("band", "bk", F.col("vec_id").alias("ida"))
+    m2 = big_members.select("band", "bk", F.col("vec_id").alias("idb"))
+    big_pairs = (m1.join(m2, ["band", "bk"])
+                   .filter(F.col("ida") < F.col("idb"))
+                   .select(F.col("ida").alias("id1"),
+                           F.col("idb").alias("id2")))
+    cand = small_pairs.unionByName(big_pairs).distinct()
     e1 = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
                   F.col("norm").alias("n1"))
     e2 = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"),

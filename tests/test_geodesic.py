@@ -149,3 +149,30 @@ class TestRoundtrip:
             np.sin(lat1) * np.sin(lat2)
             + np.cos(lat1) * np.cos(lat2) * np.cos(lon2 - lon1), -1, 1))
         assert np.max(np.abs(s - want)) < 1e-5
+
+    def test_concurrent_inverse_threads(self):
+        """The module-level solver() cache hands ONE instance to all
+        callers; its Clenshaw scratch buffers are thread-local, so
+        concurrent inverse() calls must not corrupt each other (they did
+        clobber a shared ping-pong workspace before the buffers moved to
+        threading.local)."""
+        import threading
+        rng = np.random.default_rng(11)
+        N = 60000
+        args = [(rng.uniform(-np.pi, np.pi, N), rng.uniform(-1.5, 1.5, N),
+                 rng.uniform(-np.pi, np.pi, N), rng.uniform(-1.5, 1.5, N))
+                for _ in range(4)]
+        want = [G.geod_inverse(WGS84, *a)[0] for a in args]
+        got = [None] * 4
+
+        def work(i):
+            got[i] = G.geod_inverse(WGS84, *args[i])[0]
+
+        threads = [threading.Thread(target=work, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for w, g_ in zip(want, got):
+            assert np.array_equal(w, g_)

@@ -144,6 +144,20 @@ def test_embedding_near_dup_no_cartesian(spark):
     assert "collect_list" in plan
 
 
+def test_embedding_near_dup_bucket_cap_equivalent(spark, monkeypatch):
+    """Buckets above EMB_LSH_BUCKET_CAP route through the spillable
+    self-join instead of the single-array expansion (a mega-cluster must
+    not materialize K(K-1)/2 pairs in one array value). Forcing the cap
+    to 2 sends every real bucket through the join path — the emitted
+    pair set must be IDENTICAL to the default (array-expansion) path."""
+    base = {tuple(r) for r in
+            querylib.QUERIES["embedding_near_dup"](spark, SF).collect()}
+    monkeypatch.setattr(querylib, "EMB_LSH_BUCKET_CAP", 2)
+    capped = {tuple(r) for r in
+              querylib.QUERIES["embedding_near_dup"](spark, SF).collect()}
+    assert capped == base and len(base) > 0
+
+
 def test_minhash_single_pass_agg(spark):
     """All 16 MinHash permutation minimums are one hash aggregation over
     the raw shingles (Functions [16], with map-side partial_min), band
