@@ -42,9 +42,23 @@ def hyperplane_lsh_plan(n_vecs: int, recall_sim: float = 0.95,
     """
     import math
     bits = max(16, math.ceil(math.log2(max(n_vecs, 2))) + 4)
-    p = 1.0 - math.acos(recall_sim) / math.pi
-    band_agree = p ** bits
+    p = 1.0 - math.acos(min(max(recall_sim, -1.0), 1.0)) / math.pi
+    # clamp band_agree into (0, 1): recall_sim=1.0 gives p=1 (log(0)
+    # domain error — exact duplicates always collide, a handful of bands
+    # suffice), and a loose contract (low recall_sim at large bits)
+    # underflows p**bits toward 0.0 (log(1-0)=0 -> ZeroDivisionError)
+    band_agree = min(max(p ** bits, 1e-300), 1.0 - 1e-12)
     bands = max(4, math.ceil(math.log(miss) / math.log(1.0 - band_agree)))
+    # the OR-construction cost is bands*N keys, so a contract this bit
+    # width cannot honor at sane cost (e.g. recall at near-random cosine,
+    # where exact sizing wants millions of bands) fails LOUDLY instead of
+    # returning a degenerate plan; the default contract stays far below
+    # this at any real corpus (sim 0.95 at N=1e12 needs ~1.5k bands)
+    if bands > 10_000:
+        raise ValueError(
+            f"LSH contract unachievable: recall {1 - miss:g} at "
+            f"sim>={recall_sim} needs {bands} bands of {bits} bits — "
+            "raise recall_sim or accept a larger miss rate")
     return bands, bits
 
 

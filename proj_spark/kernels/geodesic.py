@@ -285,6 +285,8 @@ class GeodSolver:
     """Precomputed ellipsoid-level state (reference geod_init analogue)."""
 
     def __init__(self, ell: Ellipsoid):
+        from .core import tune_malloc_once
+        tune_malloc_once()  # first kernel use, not import (see core)
         self.ell = ell
         self._ws_tls = threading.local()
         self.a = ell.a
@@ -344,6 +346,18 @@ class GeodSolver:
             tls.ws = [np.empty(n) for _ in range(9)]
             tls.cap = n
         return [b[:n] for b in tls.ws]
+
+    def __getstate__(self):
+        # threading.local is not picklable; drop the scratch (it is a pure
+        # cache) so operators embedding a solver (ellipsoidal aeqd/gnom)
+        # survive Spark's cloudpickle of pandas-UDF closures
+        state = self.__dict__.copy()
+        state.pop("_ws_tls", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._ws_tls = threading.local()
 
     def _eps(self, cos2_alpha0):
         k2 = self.ep2 * cos2_alpha0

@@ -174,11 +174,14 @@ def minhash_band_keys(docs: DataFrame, id_col: str = "doc_id",
     the batch path. Output: (id_col[, ts], band, bkey)."""
     from .textops import MINHASH_AB, MINHASH_P
 
-    ws = f"split({text_col}, ' ')"
-    sh = (f"CASE WHEN size({ws}) >= 3 "
-          f"THEN transform(sequence(0, size({ws}) - 3), "
-          f"i -> concat_ws(' ', {ws}[i], {ws}[i + 1], {ws}[i + 2])) "
-          f"ELSE array() END")
+    # bind the word split ONCE as a column: Spark does not CSE inside
+    # higher-order-function lambdas, so inlining split() in the per-shingle
+    # lambda body would re-split the full text 3x per shingle (O(words^2))
+    docs = docs.withColumn("_ws", F.split(F.col(text_col), " "))
+    sh = ("CASE WHEN size(_ws) >= 3 "
+          "THEN transform(sequence(0, size(_ws) - 3), "
+          "i -> concat_ws(' ', _ws[i], _ws[i + 1], _ws[i + 2])) "
+          "ELSE array() END")
     vs = (f"transform({sh}, s -> "
           f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) "
           f"% {MINHASH_P})")
