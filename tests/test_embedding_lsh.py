@@ -144,3 +144,17 @@ def test_plan_derivation_scales():
     b1, _ = hyperplane_lsh_plan(10_000)
     b2, _ = hyperplane_lsh_plan(10_000_000)
     assert b2 >= b1  # more bits need more bands at fixed recall
+
+
+def test_plan_boundary_contracts():
+    """Degenerate contracts: exact-dup recall (sim=1.0) yields a small
+    valid plan instead of a log(0) domain error; a near-random-cosine
+    contract raises a clear ValueError instead of returning a
+    million-band plan or dividing by log(1-0)=0."""
+    bands, bits = hyperplane_lsh_plan(1_000, recall_sim=1.0)
+    assert bands == 4 and bits >= 14
+    with pytest.raises(ValueError, match="unachievable"):
+        hyperplane_lsh_plan(10**9, recall_sim=0.1)
+    # default contract at the 100 TB corpus scale stays achievable
+    bands, bits = hyperplane_lsh_plan(10**12)
+    assert bands <= 10_000 and bits == 44

@@ -176,3 +176,29 @@ class TestRoundtrip:
             t.join()
         for w, g_ in zip(want, got):
             assert np.array_equal(w, g_)
+
+    def test_solver_pickles_through_cloudpickle(self):
+        """Operators embedding a GeodSolver (ellipsoidal aeqd/gnom) are
+        captured in pandas-UDF closures and cloudpickled by Spark at
+        action time; the thread-local scratch must not break that (it
+        did: threading.local is unpicklable), and the unpickled solver
+        must produce identical results."""
+        import cloudpickle
+        from proj_spark.kernels.geodesic import GeodSolver
+        from proj_spark.kernels.core import Ellipsoid
+        g = GeodSolver(Ellipsoid(6378137.0, 6356752.314245179))
+        rng = np.random.default_rng(7)
+        a = (rng.uniform(-np.pi, np.pi, 512), rng.uniform(-1.5, 1.5, 512),
+             rng.uniform(-np.pi, np.pi, 512), rng.uniform(-1.5, 1.5, 512))
+        want = g.inverse(*a)
+        g2 = cloudpickle.loads(cloudpickle.dumps(g))
+        got = g2.inverse(*a)
+        for w, o in zip(want, got):
+            assert np.array_equal(w, o)
+        # operator-level: the aeqd setup stores a solver on the instance
+        import proj_spark
+        op = proj_spark.create("+proj=aeqd +lat_0=40 +lon_0=6 +ellps=WGS84")
+        op2 = cloudpickle.loads(cloudpickle.dumps(op))
+        x1, y1, _, _ = op.fwd(np.radians([7.0]), np.radians([41.0]))
+        x2, y2, _, _ = op2.fwd(np.radians([7.0]), np.radians([41.0]))
+        assert x1 == x2 and y1 == y2
