@@ -314,7 +314,11 @@ def orchestrate():
     healthy_ratios = sorted(p["ratio"] for p in pairs if p["healthy"])
     all_ratios = sorted(p["ratio"] for p in pairs)
     used = healthy_ratios if healthy_ratios else all_ratios
-    speedup = used[len(used) // 2]
+    # true median: with an even count (a pair excluded by the regime
+    # gate), used[len//2] would report the UPPER middle element — at two
+    # surviving pairs that is the max, which overstates the speedup
+    mid = len(used) // 2
+    speedup = used[mid] if len(used) % 2 else (used[mid - 1] + used[mid]) / 2
     ideal = LEVELS[1] / LEVELS[0]
     eff = speedup / ideal
     norm_eff = speedup / cap_ratio
